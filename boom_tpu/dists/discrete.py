@@ -230,8 +230,10 @@ class beta_binomial:
         from boom_tpu.dists.continuous import beta as beta_dist
 
         k1, k2 = jax.random.split(key)
-        p = beta_dist.sample(k1, a, b, shape)
-        return binomial.sample(k2, n, p)
+        # broadcast against n too so each trial group gets its own p
+        fs, (n_, a_, b_) = _bcast(shape, n, a, b)
+        p = beta_dist.sample(k1, a_, b_)
+        return binomial.sample(k2, n_, p)
 
 
 # ---------------------------------------------------------------------------

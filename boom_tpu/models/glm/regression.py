@@ -1,0 +1,252 @@
+"""Gaussian linear regression with spike-and-slab variable selection (SSVS).
+
+Reference: Models/Glm/RegressionModel.hpp:256 (+ NeRegSuf xtx/xty sufstats
+at :156), Models/Glm/PosteriorSamplers/BregVsSampler.cpp — draw() at :252,
+draw_model_indicators at :353, mcmc_one_flip at :241, log_model_prob at
+:216, set_reg_post_params at :100ish, draw_sigma at :313, draw_beta at
+:326 — and the prior structure of BoomSpikeSlab's SpikeSlabPrior
+(Interfaces/python/spikeslab/priors.py RegressionSpikeSlabPrior).
+
+TPU-native design decisions (SURVEY.md §7 phase 5):
+  * `Selector` subsets become fixed-shape boolean masks; every
+    `xtx(g)` Cholesky is a masked Cholesky of the full (p, p) matrix
+    (boom_tpu.linalg.masked) so one compiled program serves every subset.
+  * The one-variable-at-a-time indicator sweep stays a `lax.scan` over a
+    fresh random permutation (statistically it is BOOM's random-order
+    sweep), but each flip's conditional two-point distribution is sampled
+    exactly (Gibbs) instead of MH — same invariant distribution, fewer
+    rejections — and the *chains* axis is vmapped so thousands of sweeps
+    run in lockstep on the MXU.
+  * sigma^2 and beta draws reuse the same conjugate quantities
+    (rmvn_suf-style draw via masked Cholesky back-substitution).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from boom_tpu import dists
+from boom_tpu.linalg import masked
+
+
+class RegSuf(NamedTuple):
+    """Regression sufficient statistics (reference NeRegSuf,
+    Models/Glm/RegressionModel.hpp:156). `combine` across data shards is an
+    elementwise sum => `psum` on a mesh (the combine_data contract)."""
+
+    xtx: jax.Array  # [p, p]
+    xty: jax.Array  # [p]
+    yty: jax.Array  # scalar
+    n: jax.Array  # scalar
+
+    @staticmethod
+    def from_data(x, y):
+        return RegSuf(
+            xtx=x.T @ x, xty=x.T @ y, yty=y @ y,
+            n=jnp.asarray(x.shape[0], x.dtype))
+
+    def combine(self, other):
+        return RegSuf(*(a + b for a, b in zip(self, other)))
+
+
+@dataclasses.dataclass(frozen=True)
+class SpikeSlabPrior:
+    """Spike-and-slab prior: independent Bernoulli spike + conditional
+    Gaussian slab beta | g, sigma^2 ~ N(b_g, sigma^2 (Omega_g)^{-1}) and
+    sigma^2 ~ ScaledInvChisq(sigma_df, sigma_guess^2).
+
+    Matches BoomSpikeSlab's SpikeSlabPrior construction: Omega is the
+    "information matrix" prior kappa * [(1-alpha) XtX + alpha diag(XtX)]/n
+    (reference Models/MvnGivenX.hpp via RegressionSlabPrior).
+    """
+
+    mean: jax.Array  # [p] prior mean of beta (b)
+    unscaled_precision: jax.Array  # [p, p] Omega
+    log_inclusion_odds: jax.Array  # [p]  log(pi/(1-pi))
+    log_inclusion_norm: jax.Array  # scalar  sum log(1-pi)
+    sigma_df: jax.Array  # prior df for sigma^2
+    prior_ss: jax.Array  # sigma_df * sigma_guess^2
+    max_size: int | None = None
+
+    @staticmethod
+    def from_data(x, y, expected_model_size=1.0, expected_rsq=0.5,
+                  prior_information_weight=1.0, diagonal_shrinkage=0.05,
+                  sigma_df=1.0, optional_coefficient_estimate=None,
+                  max_size=None):
+        """Default construction mirroring R's SpikeSlabPrior /
+        python spikeslab.RegressionSpikeSlabPrior defaults."""
+        n, p = x.shape
+        xtx = x.T @ x
+        pi = jnp.clip(expected_model_size / p, 1e-6, 1.0)
+        pi = jnp.broadcast_to(pi, (p,))
+        sample_var = jnp.var(y)
+        sigma_guess = jnp.sqrt((1.0 - expected_rsq) * sample_var)
+        mean = jnp.zeros(p) if optional_coefficient_estimate is None else (
+            jnp.asarray(optional_coefficient_estimate))
+        a = diagonal_shrinkage
+        omega = prior_information_weight * (
+            (1.0 - a) * xtx + a * jnp.diag(jnp.diag(xtx))) / n
+        return SpikeSlabPrior(
+            mean=mean,
+            unscaled_precision=omega,
+            log_inclusion_odds=jnp.log(pi) - jnp.log1p(-pi),
+            log_inclusion_norm=jnp.sum(jnp.log1p(-pi)),
+            sigma_df=jnp.asarray(sigma_df, x.dtype),
+            prior_ss=sigma_df * sigma_guess**2,
+            max_size=max_size,
+        )
+
+    def spike_logp(self, mask):
+        """log P(g) under independent Bernoulli inclusion."""
+        m = jnp.asarray(mask, self.mean.dtype)
+        logp = jnp.sum(m * self.log_inclusion_odds, -1) + self.log_inclusion_norm
+        if self.max_size is not None:
+            logp = jnp.where(jnp.sum(m, -1) > self.max_size, -jnp.inf, logp)
+        return logp
+
+
+class RegPostParams(NamedTuple):
+    """Conjugate posterior quantities for a given mask (the analog of
+    BVS::set_reg_post_params' cached state)."""
+
+    chol: jax.Array  # masked Cholesky of Omega_g + XtX_g
+    beta_tilde: jax.Array  # posterior mean, zeros off-mask
+    df: jax.Array
+    ss: jax.Array
+
+
+def reg_post_params(suf: RegSuf, prior: SpikeSlabPrior, mask) -> RegPostParams:
+    m = jnp.asarray(mask, suf.xty.dtype)
+    prec = masked.masked_spd(prior.unscaled_precision + suf.xtx, mask)
+    chol = jnp.linalg.cholesky(prec)
+    om_masked = prior.unscaled_precision * masked.mask_outer(m)
+    bm = prior.mean * m
+    prec_mean = om_masked @ bm + suf.xty * m
+    beta_tilde = masked.masked_cho_solve(chol, prec_mean, mask)
+    df = suf.n + prior.sigma_df
+    lik_ss = (suf.yty - 2.0 * beta_tilde @ (suf.xty * m)
+              + beta_tilde @ (suf.xtx @ beta_tilde))
+    diff = beta_tilde - bm
+    mismatch = diff @ (om_masked @ diff)
+    ss = prior.prior_ss + lik_ss + mismatch
+    return RegPostParams(chol=chol, beta_tilde=beta_tilde, df=df, ss=ss)
+
+
+def log_model_prob(suf: RegSuf, prior: SpikeSlabPrior, mask):
+    """Marginal log probability of the inclusion vector with beta and
+    sigma^2 integrated out (reference BregVsSampler.cpp:216). The empty
+    model falls out of the same masked formulas (identity embeddings give
+    logdets of 0 and SS = prior_ss + yty)."""
+    post = reg_post_params(suf, prior, mask)
+    om_chol = masked.masked_cholesky(prior.unscaled_precision, mask)
+    ldoi = masked.masked_logdet(om_chol, mask)
+    ld_post = masked.masked_logdet(post.chol, mask)
+    return (prior.spike_logp(mask)
+            + 0.5 * (ldoi - ld_post)
+            - (0.5 * post.df - 1.0) * jnp.log(post.ss))
+
+
+def draw_indicators_sweep(key, suf: RegSuf, prior: SpikeSlabPrior, mask,
+                          max_flips: int | None = None):
+    """One random-order Gibbs sweep over inclusion indicators (reference
+    draw_model_indicators at BregVsSampler.cpp:353). Each coordinate's
+    two-point conditional is sampled exactly; the scan carries the current
+    log model probability so each flip costs one masked Cholesky."""
+    p = mask.shape[-1]
+    k_perm, k_scan = jax.random.split(key)
+    order = jax.random.permutation(k_perm, p)
+    if max_flips is not None:
+        order = order[:max_flips]
+    logp_cur = log_model_prob(suf, prior, mask)
+
+    def flip_one(carry, inp):
+        mask, logp_cur = carry
+        j, k = inp
+        flipped = mask.at[j].set(~mask[j])
+        logp_flip = log_model_prob(suf, prior, flipped)
+        # conditional P(g_j = flipped state) = sigmoid(logp_flip - logp_cur)
+        take = jnp.log(jax.random.uniform(k, (), logp_cur.dtype)) < (
+            jax.nn.log_sigmoid(logp_flip - logp_cur))
+        new_mask = jnp.where(take, flipped, mask)
+        new_logp = jnp.where(take, logp_flip, logp_cur)
+        return (new_mask, new_logp), None
+
+    keys = jax.random.split(k_scan, order.shape[0])
+    (mask, _), _ = jax.lax.scan(flip_one, (mask, logp_cur), (order, keys))
+    return mask
+
+
+def draw_sigsq(key, suf: RegSuf, prior: SpikeSlabPrior, mask):
+    """sigma^2 | g, y (beta integrated out) — reference draw_sigma
+    (BregVsSampler.cpp:313): scaled inverse chi^2 with DF_, SS_."""
+    post = reg_post_params(suf, prior, mask)
+    return dists.scaled_inv_chisq.sample(key, post.df, post.ss / post.df)
+
+
+def draw_beta(key, suf: RegSuf, prior: SpikeSlabPrior, mask, sigsq):
+    """beta_g | g, sigma^2, y ~ N(beta_tilde, sigma^2 (Omega_g+XtX_g)^{-1})
+    — reference draw_beta (BregVsSampler.cpp:326); zeros off-mask."""
+    post = reg_post_params(suf, prior, mask)
+    m = jnp.asarray(mask, post.beta_tilde.dtype)
+    z = jax.random.normal(key, post.beta_tilde.shape,
+                          post.beta_tilde.dtype) * m
+    extra = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(post.chol, -1, -2), z[..., None], lower=False)[..., 0]
+    return post.beta_tilde + jnp.sqrt(sigsq) * extra * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SpikeSlabRegression:
+    """The lm.spike / lm_spike model (reference BoomSpikeSlab lm.spike.R,
+    python spikeslab.lm_spike at spikeslab.py:85). State keys:
+    gamma (bool [p]), beta ([p]), sigsq (scalar)."""
+
+    suf: RegSuf
+    prior: SpikeSlabPrior
+    max_flips: int | None = None
+
+    @staticmethod
+    def from_data(x, y, **prior_kwargs):
+        return SpikeSlabRegression(
+            suf=RegSuf.from_data(x, y),
+            prior=SpikeSlabPrior.from_data(x, y, **prior_kwargs))
+
+    def init_state(self, key):
+        p = self.prior.mean.shape[0]
+        k1, k2 = jax.random.split(key)
+        pi = jax.nn.sigmoid(self.prior.log_inclusion_odds)
+        gamma = jax.random.uniform(k1, (p,)) < jnp.maximum(pi, 2.0 / p)
+        sigsq = self.prior.prior_ss / jnp.maximum(self.prior.sigma_df, 1.0)
+        return {"gamma": gamma,
+                "beta": jnp.zeros(p, self.prior.mean.dtype),
+                "sigsq": jnp.asarray(sigsq)}
+
+    def kernel(self):
+        def sweep(key, state):
+            k1, k2, k3 = jax.random.split(key, 3)
+            gamma = draw_indicators_sweep(
+                k1, self.suf, self.prior, state["gamma"], self.max_flips)
+            sigsq = draw_sigsq(k2, self.suf, self.prior, gamma)
+            beta = draw_beta(k3, self.suf, self.prior, gamma, sigsq)
+            return {"gamma": gamma, "beta": beta, "sigsq": sigsq}
+
+        return sweep
+
+    @staticmethod
+    def simulate(key, n, p, nonzero, sigma=1.0, beta_scale=2.0):
+        """Simulate a sparse-regression test problem (the reference test
+        fixture pattern, Models/Glm/tests/regression_spike_slab_test.cc)."""
+        kx, kb, ke, ks = jax.random.split(key, 4)
+        x = jax.random.normal(kx, (n, p))
+        x = x.at[:, 0].set(1.0)
+        beta = jnp.zeros(p)
+        idx = jnp.arange(nonzero)
+        vals = beta_scale * jnp.where(
+            jax.random.uniform(kb, (nonzero,)) < 0.5, -1.0, 1.0)
+        beta = beta.at[idx].set(vals)
+        y = x @ beta + sigma * jax.random.normal(ke, (n,))
+        return x, y, beta

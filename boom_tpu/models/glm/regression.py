@@ -208,12 +208,17 @@ class SpikeSlabRegression:
     suf: RegSuf
     prior: SpikeSlabPrior
     max_flips: int | None = None
+    # "sweep": incremental SWEEP-operator updates, O(p^2)/flip (default);
+    # "cholesky": masked-Cholesky recompute, O(p^3)/flip (reference
+    # BregVsSampler's strategy; kept as the numerical oracle).
+    method: str = "sweep"
 
     @staticmethod
-    def from_data(x, y, **prior_kwargs):
+    def from_data(x, y, method="sweep", max_flips=None, **prior_kwargs):
         return SpikeSlabRegression(
             suf=RegSuf.from_data(x, y),
-            prior=SpikeSlabPrior.from_data(x, y, **prior_kwargs))
+            prior=SpikeSlabPrior.from_data(x, y, **prior_kwargs),
+            max_flips=max_flips, method=method)
 
     def init_state(self, key):
         p = self.prior.mean.shape[0]
@@ -226,9 +231,23 @@ class SpikeSlabRegression:
                 "sigsq": jnp.asarray(sigsq)}
 
     def kernel(self):
+        if self.method == "sweep":
+            from boom_tpu.models.glm.regression_sweep import (
+                draw_indicators_swept,
+                valid_for_prior,
+            )
+
+            # fall back to the Cholesky oracle when the incremental SWEEP
+            # path is not exact for this prior (nonzero prior mean on a
+            # selectable coordinate)
+            draw_ind = (draw_indicators_swept if valid_for_prior(self.prior)
+                        else draw_indicators_sweep)
+        else:
+            draw_ind = draw_indicators_sweep
+
         def sweep(key, state):
             k1, k2, k3 = jax.random.split(key, 3)
-            gamma = draw_indicators_sweep(
+            gamma = draw_ind(
                 k1, self.suf, self.prior, state["gamma"], self.max_flips)
             sigsq = draw_sigsq(k2, self.suf, self.prior, gamma)
             beta = draw_beta(k3, self.suf, self.prior, gamma, sigsq)

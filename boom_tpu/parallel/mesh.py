@@ -1,0 +1,99 @@
+"""Device-mesh utilities for sharded MCMC."""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from boom_tpu.inference.driver import McmcResult, run_chain
+from boom_tpu.inference.state import Kernel
+
+
+def make_mesh(axis_sizes: dict[str, int] | None = None,
+              devices=None) -> Mesh:
+    """Build a Mesh. Default: 1-D 'chains' mesh over all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if axis_sizes is None:
+        axis_sizes = {"chains": len(devices)}
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes.values())
+    import numpy as np
+
+    arr = np.asarray(devices[: int(np.prod(sizes))]).reshape(sizes)
+    return Mesh(arr, names)
+
+
+def shard_chains(states, mesh: Mesh, axis: str = "chains"):
+    """Place a [num_chains, ...] pytree with the chain axis sharded."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), states)
+
+
+def run_mcmc_sharded(
+    key: jax.Array,
+    kernel: Kernel,
+    init_states,
+    num_draws: int,
+    mesh: Mesh,
+    *,
+    chain_axis: str = "chains",
+    burn: int = 0,
+    thin: int = 1,
+    extract: Callable[[Any], Any] | None = None,
+) -> McmcResult:
+    """Like inference.run_mcmc but with the chain axis sharded over the
+    mesh: each device runs its own vmapped block of chains (chain
+    parallelism — SURVEY.md §2.8). Collective-free per step; diagnostics
+    gather across devices afterwards."""
+    leaf = jax.tree_util.tree_leaves(init_states)[0]
+    num_chains = leaf.shape[0]
+    chain_keys = jax.random.split(key, num_chains)
+
+    spec = P(chain_axis)
+
+    def block(keys, states):
+        def one(k, s):
+            return run_chain(k, kernel, s, num_draws, burn=burn, thin=thin,
+                             extract=extract)
+
+        return jax.vmap(one)(keys, states)
+
+    sharded = shard_map(
+        block, mesh=mesh,
+        in_specs=(spec, jax.tree_util.tree_map(lambda _: spec, init_states)),
+        out_specs=spec,
+        check_rep=False,
+    )
+    init_states = shard_chains(init_states, mesh, chain_axis)
+    chain_keys = shard_chains(chain_keys, mesh, chain_axis)
+    draws, final_state = jax.jit(sharded)(chain_keys, init_states)
+    return McmcResult(draws=draws, final_state=final_state)
+
+
+def data_parallel_suf(make_suf: Callable, x, y, mesh: Mesh,
+                      data_axis: str = "data"):
+    """Compute sufficient statistics with observations sharded over the
+    'data' mesh axis and combined by psum — the combine_data contract
+    (reference ModelTypes.hpp:89) as an all-reduce.
+
+    make_suf(x_shard, y_shard) must return a pytree of sums (e.g.
+    RegSuf.from_data)."""
+    spec_in = P(data_axis)
+
+    def local(xs, ys):
+        suf = make_suf(xs, ys)
+        return jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s, data_axis), suf)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_in, spec_in),
+        out_specs=jax.tree_util.tree_map(lambda _: P(), make_suf(x[:1], y[:1])),
+        check_rep=False,
+    )
+    return jax.jit(fn)(x, y)

@@ -1,0 +1,111 @@
+"""Finite mixture models via data-augmentation Gibbs.
+
+Reference: Models/FiniteMixtureModel.hpp:32 and
+Models/Mixtures/PosteriorSamplers/FiniteMixturePosteriorSampler — draw:
+impute latent component indicators, then each component's conjugate draw,
+then mixing weights from a Dirichlet (BASELINE config #3).
+
+TPU-native form: responsibilities for all n observations x K components in
+one batched logpdf; indicator draws as one vectorized categorical; the
+per-component sufficient statistics as one-hot matmuls (MXU-friendly —
+this is the reference's per-observation `mix_[z]->add_data(y)` loop
+collapsed into a [n,K]^T [n,d] product). Label switching is handled at
+analysis time (sorted relabeling), as in the reference's tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from boom_tpu import dists
+from boom_tpu.models.conjugate import GaussianSuf, gaussian_mean_var_draw
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianMixtureModel:
+    """K-component univariate Gaussian mixture with conjugate priors.
+
+    weights ~ Dirichlet(weight_prior)
+    (mu_k, sigsq_k) ~ Normal-Inverse-ChiSq(mean_guess, mean_nobs,
+                                           sigma_df, sigma_guess^2)
+    """
+
+    y: jax.Array  # [n]
+    num_components: int
+    weight_prior: jax.Array | float = 1.0
+    mean_guess: float = 0.0
+    mean_nobs: float = 0.01
+    sigma_df: float = 1.0
+    sigma_guess: float = 1.0
+
+    def _weight_prior_vec(self):
+        return jnp.broadcast_to(jnp.asarray(self.weight_prior,
+                                            self.y.dtype),
+                                (self.num_components,))
+
+    def init_state(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        k = self.num_components
+        # overdispersed starts: means at random data quantiles
+        qs = jax.random.uniform(k1, (k,), self.y.dtype, 0.05, 0.95)
+        mu = jnp.quantile(self.y, qs)
+        sigsq = jnp.full((k,), jnp.var(self.y) / k)
+        weights = dists.dirichlet.sample(k2, jnp.ones(k))
+        return {"mu": mu, "sigsq": sigsq, "weights": weights}
+
+    def responsibilities(self, state):
+        """log responsibilities [n, K]."""
+        logp = dists.normal.logpdf(
+            self.y[:, None], state["mu"][None, :],
+            jnp.sqrt(state["sigsq"])[None, :])
+        return logp + jnp.log(state["weights"])[None, :]
+
+    def log_lik(self, state):
+        return jax.scipy.special.logsumexp(
+            self.responsibilities(state), axis=1).sum()
+
+    def kernel(self):
+        k = self.num_components
+
+        def sweep(key, state):
+            kz, kc, kw = jax.random.split(key, 3)
+            # 1. impute indicators (impute_latent_data analog)
+            logits = self.responsibilities(state)
+            z = jax.random.categorical(kz, logits, axis=-1)  # [n]
+            onehot = jax.nn.one_hot(z, k, dtype=self.y.dtype)  # [n, K]
+            # 2. per-component sufstats as matmuls
+            counts = onehot.sum(0)
+            sums = onehot.T @ self.y
+            sumsqs = onehot.T @ (self.y * self.y)
+            suf = GaussianSuf(n=counts, sum=sums, sumsq=sumsqs)
+            # 3. conjugate component draws, batched over K
+            mu, sigsq = gaussian_mean_var_draw(
+                kc, suf, self.mean_guess, self.mean_nobs,
+                self.sigma_df, self.sigma_guess**2)
+            # 4. mixing weights
+            weights = dists.dirichlet.sample(
+                kw, self._weight_prior_vec() + counts)
+            return {"mu": mu, "sigsq": sigsq, "weights": weights}
+
+        return sweep
+
+    @staticmethod
+    def simulate(key, n, weights, means, sds):
+        kz, ky = jax.random.split(key)
+        weights = jnp.asarray(weights)
+        z = jax.random.categorical(kz, jnp.log(weights), shape=(n,))
+        mu = jnp.asarray(means)[z]
+        sd = jnp.asarray(sds)[z]
+        return mu + sd * jax.random.normal(ky, (n,)), z
+
+
+def relabel_sorted(draws_mu, *other_draws):
+    """Resolve label switching by sorting components by mu per draw
+    (the analysis-time analog of the reference's identify_permutation,
+    Models/Mixtures/identify_permutation.cpp)."""
+    order = jnp.argsort(draws_mu, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, order, axis=-1)  # noqa: E731
+    return (take(draws_mu),) + tuple(take(o) for o in other_draws)

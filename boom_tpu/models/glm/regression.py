@@ -75,7 +75,7 @@ class SpikeSlabPrior:
     @staticmethod
     def from_data(x, y, expected_model_size=1.0, expected_rsq=0.5,
                   prior_information_weight=1.0, diagonal_shrinkage=0.05,
-                  sigma_df=1.0, optional_coefficient_estimate=None,
+                  sigma_df=0.01, optional_coefficient_estimate=None,
                   max_size=None):
         """Default construction mirroring R's SpikeSlabPrior /
         python spikeslab.RegressionSpikeSlabPrior defaults."""

@@ -1,0 +1,32 @@
+"""Structural time series / state-space models (the bsts engine).
+
+Reference: Models/StateSpace (SURVEY.md §2.6) + Interfaces/R/bsts.
+"""
+
+from boom_tpu.statespace.bsts import Bsts
+from boom_tpu.statespace.kalman import (
+    FilterResult,
+    SsmParams,
+    fast_state_smoother,
+    kalman_filter,
+    simulate,
+    simulation_smoother,
+    smooth_states,
+)
+from boom_tpu.statespace.state_models import (
+    ArState,
+    LocalLevel,
+    LocalLinearTrend,
+    SdPrior,
+    Seasonal,
+    StaticIntercept,
+    Trig,
+)
+
+__all__ = [
+    "Bsts",
+    "SsmParams", "FilterResult", "kalman_filter", "fast_state_smoother",
+    "smooth_states", "simulate", "simulation_smoother",
+    "SdPrior", "LocalLevel", "LocalLinearTrend", "Seasonal", "Trig",
+    "ArState", "StaticIntercept",
+]

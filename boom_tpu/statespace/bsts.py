@@ -1,0 +1,236 @@
+"""Bsts: Bayesian structural time series (the reference's flagship).
+
+Reference: Models/StateSpace/StateSpaceModel.hpp (Gaussian observation),
+StateSpaceRegressionModel.hpp (+ spike-slab regression observation model),
+StateSpace/PosteriorSamplers/StateSpacePosteriorSampler.cpp:42-64 (draw =
+observation model draw, each state model draw, impute_state), and the R
+front end bsts/R/bsts.R:28 with add.* state builders (SURVEY.md §3.1).
+
+The Gibbs sweep here follows the same blocking:
+  1. impute the state path with the Durbin-Koopman simulation smoother on
+     y - X beta (kalman.simulation_smoother);
+  2. draw each state block's parameters from its imputed innovations;
+  3. draw the observation model: plain conjugate sigma^2 on the state
+     residuals, or the full spike-slab (gamma, beta, sigma^2) sweep on
+     y - Z alpha when a regression component is present (the reference's
+     StateSpaceRegressionModel arrangement, where the regression sigma IS
+     the observation sigma).
+
+Everything is one jitted program; chains vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from boom_tpu import dists
+from boom_tpu.models.glm.regression import (
+    RegSuf,
+    SpikeSlabPrior,
+    draw_beta,
+    draw_sigsq,
+)
+from boom_tpu.models.glm.regression_sweep import (
+    draw_indicators_swept,
+    valid_for_prior,
+)
+from boom_tpu.models.glm.regression import draw_indicators_sweep
+from boom_tpu.statespace.kalman import (
+    SsmParams,
+    kalman_filter,
+    simulation_smoother,
+)
+from boom_tpu.statespace.state_models import SdPrior
+
+
+def _block_diag(mats):
+    mats = [m for m in mats if m.shape[0] > 0 or m.shape[1] > 0]
+    if not mats:
+        return jnp.zeros((0, 0))
+    return jax.scipy.linalg.block_diag(*mats)
+
+
+@dataclasses.dataclass(frozen=True)
+class Bsts:
+    """Structural time series with optional spike-slab regression.
+
+    blocks: sequence of state-model blocks (state_models module).
+    predictors: optional [T, p] design matrix => spike-slab regression
+    component with `reg_prior` (SpikeSlabPrior).
+    """
+
+    y: jax.Array  # [T]
+    blocks: Sequence
+    obs_prior: SdPrior | None = None
+    predictors: jax.Array | None = None
+    reg_prior: SpikeSlabPrior | None = None
+    reg_max_flips: int | None = None
+
+    def __post_init__(self):
+        if self.obs_prior is None and self.reg_prior is None:
+            sd = float(jnp.std(self.y))
+            object.__setattr__(
+                self, "obs_prior",
+                SdPrior(sigma_guess=0.5 * sd, sample_size=0.01,
+                        upper_limit=1.2 * sd))
+
+    # -- composite system ---------------------------------------------------
+    @property
+    def state_dim(self):
+        return sum(b.dim for b in self.blocks)
+
+    def _slices(self):
+        out, start = [], 0
+        for b in self.blocks:
+            out.append((start, b.dim))
+            start += b.dim
+        return out
+
+    def ssm_params(self, state):
+        zs, ts, rs, qs = [], [], [], []
+        for b in self.blocks:
+            t_mat, r_mat, q_mat = b.build(state["blocks"][b.name])
+            zs.append(b.z())
+            ts.append(t_mat)
+            rs.append(r_mat)
+            qs.append(q_mat)
+        a0s, p0s = zip(*(b.init_dist() for b in self.blocks))
+        return SsmParams(
+            z=jnp.concatenate(zs),
+            t_mat=_block_diag(ts),
+            r_mat=_block_diag(rs),
+            q_mat=_block_diag(qs),
+            h=state["sigsq_obs"],
+            a0=jnp.concatenate(a0s),
+            p0=_block_diag(p0s),
+        )
+
+    # -- state --------------------------------------------------------------
+    def init_state(self, key):
+        keys = jax.random.split(key, len(self.blocks) + 3)
+        block_params = {
+            b.name: b.init_params(k) for b, k in zip(self.blocks, keys[3:])}
+        ksig = jax.random.uniform(keys[1], (), minval=0.1, maxval=0.8)
+        state = {
+            "blocks": block_params,
+            "sigsq_obs": jnp.var(self.y) * ksig,
+            "alpha": jnp.zeros((self.y.shape[0], self.state_dim)),
+        }
+        if self.predictors is not None:
+            p = self.predictors.shape[1]
+            pi = jax.nn.sigmoid(self.reg_prior.log_inclusion_odds)
+            gamma = jax.random.uniform(keys[0], (p,)) < jnp.maximum(
+                pi, 2.0 / p)
+            state["gamma"] = gamma
+            state["beta"] = jnp.zeros((p,), self.y.dtype)
+        # impute a real starting state path so the first parameter draws
+        # see data-scale innovations (an all-zero path is an absorbing
+        # trap: zero innovations collapse the variance draws)
+        state["alpha"] = simulation_smoother(
+            keys[2], self.ssm_params(state), self.y)
+        return state
+
+    # -- Gibbs sweep (StateSpacePosteriorSampler::draw analog) --------------
+    def kernel(self):
+        has_reg = self.predictors is not None
+        if has_reg:
+            xtx = self.predictors.T @ self.predictors
+            draw_ind = (draw_indicators_swept
+                        if valid_for_prior(self.reg_prior)
+                        else draw_indicators_sweep)
+
+        def sweep(key, state):
+            # Order mirrors StateSpacePosteriorSampler::draw
+            # (StateSpacePosteriorSampler.cpp:42-64): observation-model
+            # draw and state-model draws condition on the CURRENT imputed
+            # state; the state is re-imputed LAST. (Imputing first would
+            # let the flexible trend absorb the regression signal on the
+            # first sweep and trap chains in a no-regression mode.)
+            k_state, k_obs, k_blocks = jax.random.split(key, 3)
+            out = dict(state)
+            z_vec = self.ssm_params(state).z
+            state_contrib = state["alpha"] @ z_vec
+
+            # 1. observation model draw | current state
+            if has_reg:
+                k1, k2, k3 = jax.random.split(k_obs, 3)
+                y_reg = self.y - state_contrib
+                suf = RegSuf(xtx=xtx, xty=self.predictors.T @ y_reg,
+                             yty=y_reg @ y_reg,
+                             n=jnp.asarray(y_reg.shape[0], y_reg.dtype))
+                gamma = draw_ind(k1, suf, self.reg_prior, state["gamma"],
+                                 self.reg_max_flips)
+                sigsq = draw_sigsq(k2, suf, self.reg_prior, gamma)
+                beta = draw_beta(k3, suf, self.reg_prior, gamma, sigsq)
+                out["gamma"] = gamma
+                out["beta"] = beta
+                out["sigsq_obs"] = sigsq
+            else:
+                resid = self.y - state_contrib
+                out["sigsq_obs"] = self.obs_prior.draw_variance(
+                    k_obs, resid.shape[0], jnp.sum(resid * resid))
+
+            # 2. state-model parameter draws | current state path
+            new_blocks = {}
+            bkeys = jax.random.split(k_blocks, len(self.blocks))
+            for (start, dim), b, bk in zip(self._slices(), self.blocks,
+                                           bkeys):
+                path = jax.lax.dynamic_slice_in_dim(
+                    state["alpha"], start, dim, axis=1)
+                new_blocks[b.name] = b.draw_params(
+                    bk, state["blocks"][b.name], path)
+            out["blocks"] = new_blocks
+
+            # 3. impute the state (Durbin-Koopman simulation smoother)
+            y_adj = self.y
+            if has_reg:
+                y_adj = self.y - self.predictors @ out["beta"]
+            params = self.ssm_params(out)
+            out["alpha"] = simulation_smoother(k_state, params, y_adj)
+            return out
+
+        return sweep
+
+    # -- likelihood / contributions -----------------------------------------
+    def log_lik(self, state):
+        y_adj = self.y
+        if self.predictors is not None:
+            y_adj = self.y - self.predictors @ state["beta"]
+        return kalman_filter(self.ssm_params(state), y_adj).loglik
+
+    def state_contributions(self, state):
+        """Per-block contribution paths {name: [T]} (bsts plot analog)."""
+        out = {}
+        for (start, dim), b in zip(self._slices(), self.blocks):
+            path = state["alpha"][:, start:start + dim]
+            out[b.name] = path @ b.z()
+        if self.predictors is not None:
+            out["regression"] = self.predictors @ state["beta"]
+        return out
+
+    # -- forecasting (bsts predict analog, model_manager.h:256) --------------
+    def predict(self, key, final_state, horizon: int):
+        """Simulate y_{T+1:T+h} given one posterior draw's parameters and
+        final imputed state (reference ScalarModelManager::Forecast)."""
+        params = self.ssm_params(final_state)
+        alpha_t = final_state["alpha"][-1]
+        k_scan = jax.random.split(key, horizon)
+        q_dim = params.q_mat.shape[0]
+        q_chol = jnp.linalg.cholesky(
+            params.q_mat + 1e-12 * jnp.eye(q_dim)) if q_dim else params.q_mat
+
+        def step(alpha, k):
+            k_eta, k_eps = jax.random.split(k)
+            eta = (q_chol @ jax.random.normal(k_eta, (q_dim,))
+                   if q_dim else jnp.zeros((0,)))
+            alpha_next = params.t_mat @ alpha + params.r_mat @ eta
+            y_next = (params.z @ alpha_next
+                      + jnp.sqrt(params.h) * jax.random.normal(k_eps))
+            return alpha_next, y_next
+
+        _, ys = jax.lax.scan(step, alpha_t, k_scan)
+        return ys

@@ -44,6 +44,7 @@ from boom_tpu.statespace.kalman import (
     kalman_filter,
     simulation_smoother,
 )
+from boom_tpu.statespace.parallel_kalman import parallel_simulation_smoother
 from boom_tpu.statespace.state_models import SdPrior
 
 
@@ -69,6 +70,17 @@ class Bsts:
     predictors: jax.Array | None = None
     reg_prior: SpikeSlabPrior | None = None
     reg_max_flips: int | None = None
+    # associative-scan (O(log T) depth) simulation smoother. Default off:
+    # on current single-chip benchmarks the fused sequential scan wins
+    # (the unrolled log-T stages pay more per-kernel overhead than the
+    # scan loop); flip on for very long series / future multi-chip
+    # time-sharding.
+    parallel_smoother: bool = False
+    # ancillarity-sufficiency interweaving (ASIS / Yu-Meng 2011,
+    # Fruhwirth-Schnatter-Wagner non-centered step) for state variances —
+    # breaks the sigma-state mixing pathology the centered sampler (and
+    # the reference) suffers at small state variances.
+    asis: bool = True
 
     def __post_init__(self):
         if self.obs_prior is None and self.reg_prior is None:
@@ -130,8 +142,9 @@ class Bsts:
         # impute a real starting state path so the first parameter draws
         # see data-scale innovations (an all-zero path is an absorbing
         # trap: zero innovations collapse the variance draws)
-        state["alpha"] = simulation_smoother(
-            keys[2], self.ssm_params(state), self.y)
+        smoother = (parallel_simulation_smoother if self.parallel_smoother
+                    else simulation_smoother)
+        state["alpha"] = smoother(keys[2], self.ssm_params(state), self.y)
         return state
 
     # -- Gibbs sweep (StateSpacePosteriorSampler::draw analog) --------------
@@ -190,10 +203,100 @@ class Bsts:
             if has_reg:
                 y_adj = self.y - self.predictors @ out["beta"]
             params = self.ssm_params(out)
-            out["alpha"] = simulation_smoother(k_state, params, y_adj)
+            smoother = (parallel_simulation_smoother
+                        if self.parallel_smoother else simulation_smoother)
+            out["alpha"] = smoother(k_state, params, y_adj)
+
+            # 4. ASIS interweaving: non-centered re-draw of state sigmas
+            if self.asis:
+                k_asis = jax.random.fold_in(key, 17)
+                out = self._asis_pass(k_asis, out, y_adj)
             return out
 
         return sweep
+
+    # -- ASIS interweaving ---------------------------------------------------
+    def _asis_pass(self, key, state, y_adj):
+        """Non-centered (ancillary) re-draw of each state-innovation sigma.
+
+        For each variance group: hold the standardized innovations
+        tilde_eta = eta / sigma and the initial state fixed, so the state
+        path is affine in sigma: alpha(sigma) = alpha_rest + sigma * D,
+        where D is the path driven by tilde_eta alone. The conditional of
+        sigma is then 1-d with Gaussian likelihood terms (A, B) and the
+        SdPrior density; a bounded slice step redraws it, and the path is
+        rescaled. Composing this with the centered draw is the
+        ancillarity-sufficiency interweaving of Yu & Meng (2011) /
+        Fruhwirth-Schnatter & Wagner (2010) — it removes the slow mixing
+        of small state variances that the reference's pure centered
+        sampler exhibits."""
+        from boom_tpu.inference.kernels.slice import slice_step
+
+        params = self.ssm_params(state)
+        alpha = state["alpha"]
+        t_mat, r_mat, z_vec = params.t_mat, params.r_mat, params.z
+        # innovations [T-1, q]: R is column-orthonormal (selector/identity)
+        eta = (alpha[1:] - alpha[:-1] @ t_mat.T) @ r_mat
+        sigsq_obs = state["sigsq_obs"]
+
+        new_blocks = {name: dict(v) for name, v in state["blocks"].items()}
+        groups = []
+        offset = 0
+        for b in self.blocks:
+            for pname, prior, dims in b.asis_groups():
+                groups.append((b.name, pname, prior,
+                               tuple(offset + d for d in dims)))
+            offset += b.err_dim
+
+        keys = jax.random.split(key, max(len(groups), 1))
+        for (bname, pname, prior, dims), gk in zip(groups, keys):
+            sig_cur = jnp.sqrt(jnp.maximum(new_blocks[bname][pname], 1e-30))
+            cols = jnp.zeros((eta.shape[1],), alpha.dtype)
+            for dcol in dims:
+                cols = cols.at[dcol].set(1.0)
+            tilde = (eta * cols[None, :]) / sig_cur  # [T-1, q]
+
+            # D path: recurrence driven by tilde through R (unit sigma)
+            w = tilde @ r_mat.T  # [T-1, d]
+
+            def rec(dprev, w_t):
+                dnext = t_mat @ dprev + w_t
+                return dnext, dnext
+
+            d0 = jnp.zeros((alpha.shape[1],), alpha.dtype)
+            _, dpath = jax.lax.scan(rec, d0, w, unroll=8)
+            dpath = jnp.concatenate([d0[None], dpath], axis=0)  # [T, d]
+
+            alpha_rest = alpha - sig_cur * dpath
+            g = dpath @ z_vec  # [T]
+            resid = y_adj - alpha_rest @ z_vec
+            a_coef = jnp.sum(g * g) / sigsq_obs
+            b_coef = jnp.sum(g * resid) / sigsq_obs
+
+            df = prior.sample_size
+            pss = prior.sample_size * prior.sigma_guess**2
+            upper = prior.upper_limit if prior.upper_limit < float(
+                "inf") else 1e6
+
+            def logp(sig):
+                sigsq = sig * sig
+                # SdPrior density on sigma: SIC(sig^2) * 2 sig
+                lp = (-(0.5 * df + 1.0) * jnp.log(sigsq)
+                      - 0.5 * pss / sigsq + jnp.log(2.0 * sig))
+                return lp + b_coef * sig - 0.5 * a_coef * sigsq
+
+            width = jnp.maximum(sig_cur, 0.05 * prior.sigma_guess)
+            sig_new = slice_step(gk, sig_cur, logp, width,
+                                 lower=1e-12, upper=upper)
+            alpha = alpha_rest + sig_new * dpath
+            eta = eta * (1.0 - cols[None, :]) \
+                + eta * cols[None, :] * (sig_new / sig_cur)
+            new_blocks[bname][pname] = sig_new * sig_new
+
+        out = dict(state)
+        out["alpha"] = alpha
+        out["blocks"] = new_blocks
+        return out
 
     # -- likelihood / contributions -----------------------------------------
     def log_lik(self, state):

@@ -103,6 +103,9 @@ class LocalLevel:
             key, eta.shape[0], jnp.sum(eta * eta))
         return {"sigma_level_sq": sigsq}
 
+    def asis_groups(self):
+        return [("sigma_level_sq", self.sigma_prior, (0,))]
+
 
 # ---------------------------------------------------------------------------
 # Local linear trend — reference LocalLinearTrend.hpp;
@@ -162,6 +165,10 @@ class LocalLinearTrend:
             k2, eta.shape[0], jnp.sum(eta[:, 1] ** 2))
         return {"sigma_level_sq": lvl, "sigma_slope_sq": slope}
 
+    def asis_groups(self):
+        return [("sigma_level_sq", self.level_prior, (0,)),
+                ("sigma_slope_sq", self.slope_prior, (1,))]
+
 
 # ---------------------------------------------------------------------------
 # Seasonal (dummy-variable) — reference SeasonalStateModel.hpp;
@@ -216,6 +223,9 @@ class Seasonal:
         sigsq = self.sigma_prior.draw_variance(
             key, eta.shape[0], jnp.sum(eta * eta))
         return {"sigma_seasonal_sq": sigsq}
+
+    def asis_groups(self):
+        return [("sigma_seasonal_sq", self.sigma_prior, (0,))]
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +287,10 @@ class Trig:
         sigsq = self.sigma_prior.draw_variance(
             key, eta.size, jnp.sum(eta * eta))
         return {"sigma_trig_sq": sigsq}
+
+    def asis_groups(self):
+        return [("sigma_trig_sq", self.sigma_prior,
+                 tuple(range(self.err_dim)))]
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +377,9 @@ class ArState:
             k_sig, eps.shape[0], jnp.sum(eps * eps))
         return {"phi": phi, "sigma_ar_sq": sigsq_new}
 
+    def asis_groups(self):
+        return [("sigma_ar_sq", self.sigma_prior, (0,))]
+
 
 def _jury_stationary(phi):
     """Schur-Cohn/Jury test via the Levinson-Durbin step-down: the AR(p)
@@ -419,3 +436,6 @@ class StaticIntercept:
 
     def draw_params(self, key, params, path):
         return {}
+
+    def asis_groups(self):
+        return []

@@ -1,5 +1,15 @@
 """GLMs with spike-and-slab priors (reference Models/Glm, SURVEY.md §2.6)."""
 
+from boom_tpu.models.glm.logit import LogitSpikeSlab, impute_logit_latent
+from boom_tpu.models.glm.mlogit import (
+    MultinomialLogitSpikeSlab,
+    impute_mnl_utilities,
+)
+from boom_tpu.models.glm.poisson import (
+    PoissonSpikeSlab,
+    impute_poisson_latent,
+)
+from boom_tpu.models.glm.probit import ProbitSpikeSlab, impute_probit_latent
 from boom_tpu.models.glm.regression import (
     RegSuf,
     SpikeSlabPrior,
@@ -10,9 +20,24 @@ from boom_tpu.models.glm.regression import (
     log_model_prob,
     reg_post_params,
 )
+from boom_tpu.models.glm.ssvs import (
+    WeightedRegSuf,
+    kv_draw_beta,
+    kv_draw_indicators,
+    kv_log_model_prob,
+    sample_mixture_indicator,
+)
+from boom_tpu.models.glm.student import StudentSpikeSlab
 
 __all__ = [
     "RegSuf", "SpikeSlabPrior", "SpikeSlabRegression",
     "log_model_prob", "reg_post_params",
     "draw_indicators_sweep", "draw_sigsq", "draw_beta",
+    "WeightedRegSuf", "kv_log_model_prob", "kv_draw_indicators",
+    "kv_draw_beta", "sample_mixture_indicator",
+    "ProbitSpikeSlab", "impute_probit_latent",
+    "LogitSpikeSlab", "impute_logit_latent",
+    "PoissonSpikeSlab", "impute_poisson_latent",
+    "StudentSpikeSlab",
+    "MultinomialLogitSpikeSlab", "impute_mnl_utilities",
 ]

@@ -15,11 +15,15 @@ from boom_tpu.statespace.kalman import (
 )
 from boom_tpu.statespace.state_models import (
     ArState,
+    DynamicRegression,
     LocalLevel,
     LocalLinearTrend,
+    RandomWalkHoliday,
     SdPrior,
     Seasonal,
+    SemilocalLinearTrend,
     StaticIntercept,
+    StudentLocalLinearTrend,
     Trig,
 )
 
@@ -28,5 +32,6 @@ __all__ = [
     "SsmParams", "FilterResult", "kalman_filter", "fast_state_smoother",
     "smooth_states", "simulate", "simulation_smoother",
     "SdPrior", "LocalLevel", "LocalLinearTrend", "Seasonal", "Trig",
-    "ArState", "StaticIntercept",
+    "ArState", "StaticIntercept", "SemilocalLinearTrend",
+    "DynamicRegression", "RandomWalkHoliday", "StudentLocalLinearTrend",
 ]

@@ -102,23 +102,48 @@ class Bsts:
             start += b.dim
         return out
 
+    @property
+    def _time_varying_z(self):
+        return any(hasattr(b, "z_seq") for b in self.blocks)
+
+    @property
+    def _time_varying_q(self):
+        return any(hasattr(b, "q_scale_seq") for b in self.blocks)
+
     def ssm_params(self, state):
+        t_len = self.y.shape[0]
         zs, ts, rs, qs = [], [], [], []
         for b in self.blocks:
             t_mat, r_mat, q_mat = b.build(state["blocks"][b.name])
-            zs.append(b.z())
+            if self._time_varying_z:
+                z_b = (b.z_seq(t_len) if hasattr(b, "z_seq")
+                       else jnp.broadcast_to(b.z(), (t_len, b.dim)))
+            else:
+                z_b = b.z()
+            zs.append(z_b)
             ts.append(t_mat)
             rs.append(r_mat)
             qs.append(q_mat)
         a0s, p0s = zip(*(b.init_dist() for b in self.blocks))
+        q_scale = None
+        if self._time_varying_q:
+            scales = []
+            for b in self.blocks:
+                if hasattr(b, "q_scale_seq"):
+                    scales.append(
+                        b.q_scale_seq(state["blocks"][b.name], t_len))
+                else:
+                    scales.append(jnp.ones((t_len, b.err_dim)))
+            q_scale = jnp.concatenate(scales, axis=-1)
         return SsmParams(
-            z=jnp.concatenate(zs),
+            z=jnp.concatenate(zs, axis=-1),
             t_mat=_block_diag(ts),
             r_mat=_block_diag(rs),
             q_mat=_block_diag(qs),
             h=state["sigsq_obs"],
             a0=jnp.concatenate(a0s),
             p0=_block_diag(p0s),
+            q_scale=q_scale,
         )
 
     # -- state --------------------------------------------------------------
@@ -142,9 +167,11 @@ class Bsts:
         # impute a real starting state path so the first parameter draws
         # see data-scale innovations (an all-zero path is an absorbing
         # trap: zero innovations collapse the variance draws)
-        smoother = (parallel_simulation_smoother if self.parallel_smoother
+        params0 = self.ssm_params(state)
+        use_parallel = self.parallel_smoother and not params0.time_varying
+        smoother = (parallel_simulation_smoother if use_parallel
                     else simulation_smoother)
-        state["alpha"] = smoother(keys[2], self.ssm_params(state), self.y)
+        state["alpha"] = smoother(keys[2], params0, self.y)
         return state
 
     # -- Gibbs sweep (StateSpacePosteriorSampler::draw analog) --------------
@@ -165,8 +192,9 @@ class Bsts:
             # first sweep and trap chains in a no-regression mode.)
             k_state, k_obs, k_blocks = jax.random.split(key, 3)
             out = dict(state)
-            z_vec = self.ssm_params(state).z
-            state_contrib = state["alpha"] @ z_vec
+            params_cur = self.ssm_params(state)
+            zs_cur = params_cur.zs(self.y.shape[0])
+            state_contrib = jnp.einsum("td,td->t", zs_cur, state["alpha"])
 
             # 1. observation model draw | current state
             if has_reg:
@@ -203,8 +231,10 @@ class Bsts:
             if has_reg:
                 y_adj = self.y - self.predictors @ out["beta"]
             params = self.ssm_params(out)
+            # the associative-scan smoother assumes a static system
+            use_parallel = self.parallel_smoother and not params.time_varying
             smoother = (parallel_simulation_smoother
-                        if self.parallel_smoother else simulation_smoother)
+                        if use_parallel else simulation_smoother)
             out["alpha"] = smoother(k_state, params, y_adj)
 
             # 4. ASIS interweaving: non-centered re-draw of state sigmas
@@ -234,7 +264,8 @@ class Bsts:
 
         params = self.ssm_params(state)
         alpha = state["alpha"]
-        t_mat, r_mat, z_vec = params.t_mat, params.r_mat, params.z
+        t_mat, r_mat = params.t_mat, params.r_mat
+        zs = params.zs(alpha.shape[0])
         # innovations [T-1, q]: R is column-orthonormal (selector/identity)
         eta = (alpha[1:] - alpha[:-1] @ t_mat.T) @ r_mat
         sigsq_obs = state["sigsq_obs"]
@@ -268,8 +299,8 @@ class Bsts:
             dpath = jnp.concatenate([d0[None], dpath], axis=0)  # [T, d]
 
             alpha_rest = alpha - sig_cur * dpath
-            g = dpath @ z_vec  # [T]
-            resid = y_adj - alpha_rest @ z_vec
+            g = jnp.einsum("td,td->t", zs, dpath)  # [T]
+            resid = y_adj - jnp.einsum("td,td->t", zs, alpha_rest)
             a_coef = jnp.sum(g * g) / sigsq_obs
             b_coef = jnp.sum(g * resid) / sigsq_obs
 
@@ -308,32 +339,72 @@ class Bsts:
     def state_contributions(self, state):
         """Per-block contribution paths {name: [T]} (bsts plot analog)."""
         out = {}
+        t_len = state["alpha"].shape[0]
         for (start, dim), b in zip(self._slices(), self.blocks):
             path = state["alpha"][:, start:start + dim]
-            out[b.name] = path @ b.z()
+            if hasattr(b, "z_seq"):
+                out[b.name] = jnp.einsum("td,td->t", b.z_seq(t_len), path)
+            else:
+                out[b.name] = path @ b.z()
         if self.predictors is not None:
             out["regression"] = self.predictors @ state["beta"]
         return out
 
     # -- forecasting (bsts predict analog, model_manager.h:256) --------------
-    def predict(self, key, final_state, horizon: int):
+    def predict(self, key, final_state, horizon: int, future_z=None,
+                future_q_scale=None):
         """Simulate y_{T+1:T+h} given one posterior draw's parameters and
-        final imputed state (reference ScalarModelManager::Forecast)."""
+        final imputed state (reference ScalarModelManager::Forecast).
+
+        For time-varying blocks supply per-block futures:
+          future_z: {block_name: [h, block_dim]} observation rows
+            (e.g. future predictors for DynamicRegression, future holiday
+            one-hots for RandomWalkHoliday; bsts predict's newdata arg)
+          future_q_scale: {block_name: [h, block_err_dim]} sd scales.
+        Static blocks need no entries.
+        """
+        future_z = future_z or {}
+        future_q_scale = future_q_scale or {}
         params = self.ssm_params(final_state)
         alpha_t = final_state["alpha"][-1]
-        k_scan = jax.random.split(key, horizon)
         q_dim = params.q_mat.shape[0]
         q_chol = jnp.linalg.cholesky(
             params.q_mat + 1e-12 * jnp.eye(q_dim)) if q_dim else params.q_mat
 
-        def step(alpha, k):
+        # assemble future z rows [h, d]
+        z_rows = []
+        for b in self.blocks:
+            if b.name in future_z:
+                z_rows.append(jnp.asarray(future_z[b.name]))
+            elif hasattr(b, "z_seq"):
+                raise ValueError(
+                    f"block {b.name!r} has time-varying Z; pass "
+                    f"future_z[{b.name!r}] with shape "
+                    f"[{horizon}, {b.dim}]")
+            else:
+                z_rows.append(jnp.broadcast_to(b.z(), (horizon, b.dim)))
+        z_fut = jnp.concatenate(z_rows, axis=-1)
+
+        s_rows = []
+        for b in self.blocks:
+            if b.name in future_q_scale:
+                s_rows.append(jnp.asarray(future_q_scale[b.name]))
+            else:
+                s_rows.append(jnp.ones((horizon, b.err_dim)))
+        s_fut = jnp.concatenate(s_rows, axis=-1)
+
+        k_scan = jax.random.split(key, horizon)
+
+        def step(alpha, inp):
+            k, z_t, s_t = inp
             k_eta, k_eps = jax.random.split(k)
-            eta = (q_chol @ jax.random.normal(k_eta, (q_dim,))
+            eta = (s_t * (q_chol @ jax.random.normal(k_eta, (q_dim,)))
                    if q_dim else jnp.zeros((0,)))
             alpha_next = params.t_mat @ alpha + params.r_mat @ eta
-            y_next = (params.z @ alpha_next
-                      + jnp.sqrt(params.h) * jax.random.normal(k_eps))
+            y_next = (z_t @ alpha_next
+                      + jnp.sqrt(params.hs(1)[0])
+                      * jax.random.normal(k_eps))
             return alpha_next, y_next
 
-        _, ys = jax.lax.scan(step, alpha_t, k_scan)
+        _, ys = jax.lax.scan(step, alpha_t, (k_scan, z_fut, s_fut))
         return ys

@@ -5,12 +5,23 @@ Models/StateSpace/StateSpaceModelBase.cpp — impute_state at :278,
 simulate_forward at :771, fast_disturbance_smooth at :843-:866. This is
 the hot loop of every bsts fit (SURVEY.md §3.1).
 
-Model (scalar observation, time-invariant system matrices here; the bsts
-layer builds them from state blocks):
+Model (scalar observation):
 
-    y_t     = Z' alpha_t + eps_t,        eps_t ~ N(0, H)
+    y_t     = Z_t' alpha_t + eps_t,        eps_t ~ N(0, H_t)
     alpha_1 = a0 + P0^{1/2} xi
-    alpha_{t+1} = T alpha_t + R eta_t,   eta_t ~ N(0, Q)
+    alpha_{t+1} = T alpha_t + R eta_t,     eta_t ~ N(0, Q_t)
+
+System matrices may be time-varying where the reference's state models
+need it (SparseKalmanTools handles the same generality):
+  * z: [d] static or [T, d] (dynamic regression Z_t = x_t, holiday
+    activation windows — reference DynamicRegressionStateModel.hpp,
+    RandomWalkHolidayStateModel.hpp)
+  * h: scalar or [T] (heteroscedastic observations: the latent-Gaussian
+    reduction of logit/Poisson/student observation families, reference
+    StateSpaceNormalMixture in StateSpaceLogitModel.hpp etc.)
+  * q_scale: None or [T, q] per-time sd scale: Q_t = (s_t s_t') .* Q
+    (student local linear trend latent weights; holiday windows where the
+    random walk only moves on active days)
 
 TPU-native notes: the per-step update is a [d, d] matmul batched over
 vmapped chains, so the device sees [chains, d, d] batched GEMMs; the
@@ -18,7 +29,9 @@ simulation smoother runs the SAME filter once on a combined series
 (y - y_plus) instead of twice (the reference's CP trick at
 simulate_forward, StateSpaceModelBase.cpp:771, runs two filters in
 lockstep; algebraically one filter on the difference suffices because
-filtering is linear in y). Missing observations are a mask (F_inf gates).
+filtering is linear in y). Missing observations are a mask (F gates).
+The static-system path keeps its own scan body so the bench-critical
+case pays nothing for the generality.
 """
 
 from __future__ import annotations
@@ -35,19 +48,45 @@ import jax.numpy as jnp
 
 
 class SsmParams(NamedTuple):
-    """Time-invariant scalar-observation state-space system."""
+    """Scalar-observation state-space system (fields may be time-varying;
+    see module docstring)."""
 
-    z: jax.Array  # [d] observation vector
+    z: jax.Array  # [d] or [T, d] observation vector
     t_mat: jax.Array  # [d, d] transition
     r_mat: jax.Array  # [d, q] error expander
     q_mat: jax.Array  # [q, q] state error covariance
-    h: jax.Array  # scalar observation variance
+    h: jax.Array  # scalar or [T] observation variance
     a0: jax.Array  # [d] initial state mean
     p0: jax.Array  # [d, d] initial state covariance
+    q_scale: jax.Array | None = None  # optional [T, q] sd scale on Q
 
     @property
     def rqr(self):
         return self.r_mat @ self.q_mat @ self.r_mat.T
+
+    @property
+    def time_varying(self):
+        return (self.z.ndim == 2 or jnp.ndim(self.h) == 1
+                or self.q_scale is not None)
+
+    def zs(self, t_len):
+        """[T, d] observation vectors."""
+        if self.z.ndim == 2:
+            return self.z
+        return jnp.broadcast_to(self.z, (t_len, self.z.shape[0]))
+
+    def hs(self, t_len):
+        """[T] observation variances."""
+        return jnp.broadcast_to(self.h, (t_len,))
+
+    def rqrs(self, t_len):
+        """[T, d, d] state error covariances (expanded)."""
+        if self.q_scale is None:
+            return jnp.broadcast_to(self.rqr,
+                                    (t_len,) + self.rqr.shape)
+        q_t = (self.q_scale[:, :, None] * self.q_scale[:, None, :]
+               * self.q_mat)
+        return jnp.einsum("dq,tqr,er->tde", self.r_mat, q_t, self.r_mat)
 
 
 class FilterResult(NamedTuple):
@@ -65,20 +104,18 @@ def kalman_filter(params: SsmParams, y, observed=None) -> FilterResult:
     t_len = y.shape[0]
     if observed is None:
         observed = jnp.ones((t_len,), bool)
-    dtype = params.z.dtype
-    rqr = params.rqr
+    dtype = params.t_mat.dtype
+    tv = params.time_varying
 
-    def step(carry, inp):
-        a, p = carry
-        y_t, obs_t = inp
-        v = jnp.where(obs_t, y_t - params.z @ a, 0.0)
-        pz = p @ params.z
-        f = params.z @ pz + params.h
+    def step_core(a, p, y_t, obs_t, z_t, h_t, rqr_t):
+        v = jnp.where(obs_t, y_t - z_t @ a, 0.0)
+        pz = p @ z_t
+        f = z_t @ pz + h_t
         k_gain = jnp.where(obs_t, (params.t_mat @ pz) / f,
                            jnp.zeros_like(pz))
-        l_mat = params.t_mat - jnp.outer(k_gain, params.z)
+        l_mat = params.t_mat - jnp.outer(k_gain, z_t)
         a_next = params.t_mat @ a + k_gain * v
-        p_next = params.t_mat @ p @ l_mat.T + rqr
+        p_next = params.t_mat @ p @ l_mat.T + rqr_t
         p_next = 0.5 * (p_next + p_next.T)
         ll = jnp.where(
             obs_t,
@@ -86,9 +123,23 @@ def kalman_filter(params: SsmParams, y, observed=None) -> FilterResult:
             0.0)
         return (a_next, p_next), (v, f, k_gain, a, p, ll)
 
+    if tv:
+        xs = (y.astype(dtype), observed, params.zs(t_len).astype(dtype),
+              params.hs(t_len).astype(dtype), params.rqrs(t_len))
+
+        def step(carry, inp):
+            return step_core(*carry, *inp)
+    else:
+        rqr = params.rqr
+        z_vec, h_sc = params.z, params.h
+        xs = (y.astype(dtype), observed)
+
+        def step(carry, inp):
+            return step_core(*carry, inp[0], inp[1], z_vec, h_sc, rqr)
+
     (_, _), (v, f, k, a, p, ll) = jax.lax.scan(
         step, (params.a0.astype(dtype), params.p0.astype(dtype)),
-        (y.astype(dtype), observed), unroll=SCAN_UNROLL)
+        xs, unroll=SCAN_UNROLL)
     return FilterResult(loglik=ll.sum(), v=v, f=f, k=k, a=a, p=p)
 
 
@@ -101,26 +152,38 @@ def fast_state_smoother(params: SsmParams, filt: FilterResult, observed=None):
     t_len = filt.v.shape[0]
     if observed is None:
         observed = jnp.ones((t_len,), bool)
-    rqr = params.rqr
+    tv = params.time_varying
+    zs = params.zs(t_len)
+    rqrs = params.rqrs(t_len) if tv else None
+    rqr = None if tv else params.rqr
 
     def bstep(r, inp):
-        v, f, k_gain, obs = inp
-        l_mat = params.t_mat - jnp.outer(k_gain, params.z)
-        r_prev = jnp.where(obs, params.z * (v / f), 0.0) + l_mat.T @ r
+        v, f, k_gain, obs, z_t = inp
+        l_mat = params.t_mat - jnp.outer(k_gain, z_t)
+        r_prev = jnp.where(obs, z_t * (v / f), 0.0) + l_mat.T @ r
         return r_prev, r_prev
 
     zero_r = jnp.zeros_like(params.a0)
     _, rs = jax.lax.scan(bstep, zero_r,
-                         (filt.v, filt.f, filt.k, observed), reverse=True,
-                         unroll=SCAN_UNROLL)
+                         (filt.v, filt.f, filt.k, observed, zs),
+                         reverse=True, unroll=SCAN_UNROLL)
     # rs[t] = r_{t-1}; alpha_1 = a_1 + P_1 r_0
     alpha0 = filt.a[0] + filt.p[0] @ rs[0]
 
-    def fstep(alpha, r_t):
-        alpha_next = params.t_mat @ alpha + rqr @ r_t
-        return alpha_next, alpha_next
+    if tv:
+        def fstep(alpha, inp):
+            r_t, rqr_t = inp
+            alpha_next = params.t_mat @ alpha + rqr_t @ r_t
+            return alpha_next, alpha_next
 
-    _, alphas = jax.lax.scan(fstep, alpha0, rs[1:], unroll=SCAN_UNROLL)
+        _, alphas = jax.lax.scan(fstep, alpha0, (rs[1:], rqrs[:-1]),
+                                 unroll=SCAN_UNROLL)
+    else:
+        def fstep(alpha, r_t):
+            alpha_next = params.t_mat @ alpha + rqr @ r_t
+            return alpha_next, alpha_next
+
+        _, alphas = jax.lax.scan(fstep, alpha0, rs[1:], unroll=SCAN_UNROLL)
     return jnp.concatenate([alpha0[None], alphas], axis=0)
 
 
@@ -133,24 +196,29 @@ def simulate(key, params: SsmParams, t_len: int):
     """Draw (alpha_{1:T}, y_{1:T}) from the model (simulate_forward's
     unconditional half, StateSpaceModelBase.cpp:771)."""
     k0, ka, ke = jax.random.split(key, 3)
-    dtype = params.z.dtype
+    dtype = params.t_mat.dtype
     p0_chol = jnp.linalg.cholesky(
         params.p0 + 1e-12 * jnp.eye(params.p0.shape[0], dtype=dtype))
     alpha1 = params.a0 + p0_chol @ jax.random.normal(
         k0, params.a0.shape, dtype)
+    q_dim = params.q_mat.shape[0]
     q_chol = jnp.linalg.cholesky(
-        params.q_mat + 1e-12 * jnp.eye(params.q_mat.shape[0], dtype=dtype))
+        params.q_mat + 1e-12 * jnp.eye(q_dim, dtype=dtype))
+    scales = (jnp.ones((t_len, q_dim), dtype) if params.q_scale is None
+              else params.q_scale)
 
-    def step(alpha, k):
-        eta = q_chol @ jax.random.normal(k, (params.q_mat.shape[0],), dtype)
+    def step(alpha, inp):
+        k, s_t = inp
+        eta = s_t * (q_chol @ jax.random.normal(k, (q_dim,), dtype))
         alpha_next = params.t_mat @ alpha + params.r_mat @ eta
         return alpha_next, alpha_next
 
-    _, alphas = jax.lax.scan(step, alpha1, jax.random.split(ka, t_len - 1),
-                             unroll=SCAN_UNROLL)
+    _, alphas = jax.lax.scan(
+        step, alpha1, (jax.random.split(ka, t_len - 1), scales[:-1]),
+        unroll=SCAN_UNROLL)
     alphas = jnp.concatenate([alpha1[None], alphas], axis=0)
-    eps = jnp.sqrt(params.h) * jax.random.normal(ke, (t_len,), dtype)
-    y = alphas @ params.z + eps
+    eps = jnp.sqrt(params.hs(t_len)) * jax.random.normal(ke, (t_len,), dtype)
+    y = jnp.einsum("td,td->t", params.zs(t_len), alphas) + eps
     return alphas, y
 
 

@@ -439,3 +439,356 @@ class StaticIntercept:
 
     def asis_groups(self):
         return []
+
+
+# ---------------------------------------------------------------------------
+# Semilocal linear trend — reference SemilocalLinearTrend.hpp;
+# bsts add.semilocal.linear.trend
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class SemilocalLinearTrend:
+    """Level + AR(1)-mean-reverting slope with long-run slope mean D:
+
+        mu_{t+1}    = mu_t + delta_t + eta_0
+        delta_{t+1} = D + phi (delta_t - D) + eta_1
+
+    D is carried as a third (static) state component with a Gaussian
+    initial prior, so the simulation smoother imputes it jointly with the
+    path — no separate conjugate draw needed. phi is drawn from its
+    truncated-normal full conditional given the slope path."""
+
+    level_prior: SdPrior
+    slope_prior: SdPrior
+    initial_level_mean: float = 0.0
+    initial_level_sd: float = 1.0
+    initial_slope_mean: float = 0.0
+    initial_slope_sd: float = 1.0
+    slope_mean_mean: float = 0.0
+    slope_mean_sd: float = 1.0
+    phi_prior_mean: float = 0.0
+    phi_prior_sd: float = 0.5
+    name: str = "semilocal_trend"
+    dim: int = 3
+    err_dim: int = 2
+
+    @staticmethod
+    def default(y, name="semilocal_trend"):
+        sd = float(jnp.std(y))
+        return SemilocalLinearTrend(
+            level_prior=SdPrior(sigma_guess=0.01 * sd, upper_limit=sd),
+            slope_prior=SdPrior(sigma_guess=0.01 * sd, upper_limit=sd),
+            initial_level_mean=float(y[0]), initial_level_sd=sd,
+            initial_slope_sd=sd, slope_mean_sd=sd, name=name)
+
+    def z(self):
+        return jnp.asarray([1.0, 0.0, 0.0])
+
+    def _t(self, phi):
+        return jnp.asarray([[1.0, 1.0, 0.0],
+                            [0.0, 0.0, 0.0],
+                            [0.0, 0.0, 1.0]]).at[1, 1].set(
+            phi).at[1, 2].set(1.0 - phi)
+
+    def build(self, params):
+        r_mat = jnp.zeros((3, 2)).at[0, 0].set(1.0).at[1, 1].set(1.0)
+        q_mat = jnp.diag(jnp.stack([params["sigma_level_sq"],
+                                    params["sigma_slope_sq"]]))
+        return self._t(params["phi"]), r_mat, q_mat
+
+    def init_dist(self):
+        return (jnp.asarray([self.initial_level_mean,
+                             self.initial_slope_mean,
+                             self.slope_mean_mean]),
+                jnp.diag(jnp.asarray([self.initial_level_sd**2,
+                                      self.initial_slope_sd**2,
+                                      self.slope_mean_sd**2])))
+
+    def init_params(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        u1 = jax.random.uniform(k1, (), minval=0.05, maxval=0.5)
+        u2 = jax.random.uniform(k2, (), minval=0.01, maxval=0.2)
+        phi = jax.random.uniform(k3, (), minval=0.2, maxval=0.8)
+        return {"sigma_level_sq": (self.initial_level_sd * u1) ** 2,
+                "sigma_slope_sq": (self.initial_level_sd * u2) ** 2,
+                "phi": phi}
+
+    def draw_params(self, key, params, path):
+        k1, k2, k3 = jax.random.split(key, 3)
+        level, slope, d_mean = path[:, 0], path[:, 1], path[0, 2]
+        # level innovation: mu_{t+1} - mu_t - delta_t
+        e_lvl = level[1:] - level[:-1] - slope[:-1]
+        lvl = self.level_prior.draw_variance(
+            k1, e_lvl.shape[0], jnp.sum(e_lvl * e_lvl))
+        # phi | slope path: regression of (delta_{t+1}-D) on (delta_t - D),
+        # truncated to (-1, 1) (reference SemilocalLinearTrend's
+        # stationary-AR1 slope sampler)
+        dc = slope - d_mean
+        sxx = jnp.sum(dc[:-1] * dc[:-1])
+        sxy = jnp.sum(dc[:-1] * dc[1:])
+        sig = params["sigma_slope_sq"]
+        post_prec = sxx / sig + 1.0 / self.phi_prior_sd**2
+        post_mean = (sxy / sig
+                     + self.phi_prior_mean / self.phi_prior_sd**2) / post_prec
+        phi = dists.trun_normal.sample(
+            k2, post_mean, jnp.sqrt(1.0 / post_prec), lo=-0.999, hi=0.999)
+        e_slope = dc[1:] - phi * dc[:-1]
+        slope_var = self.slope_prior.draw_variance(
+            k3, e_slope.shape[0], jnp.sum(e_slope * e_slope))
+        return {"sigma_level_sq": lvl, "sigma_slope_sq": slope_var,
+                "phi": phi}
+
+    def asis_groups(self):
+        return [("sigma_level_sq", self.level_prior, (0,)),
+                ("sigma_slope_sq", self.slope_prior, (1,))]
+
+
+# ---------------------------------------------------------------------------
+# Dynamic regression — reference DynamicRegressionStateModel.hpp;
+# bsts add.dynamic.regression
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class DynamicRegression:
+    """Time-varying regression coefficients: beta_{t+1,j} = beta_{t,j} +
+    eta_j with per-coefficient random-walk sds; Z_t = x_t (time-varying)."""
+
+    predictors: jax.Array  # [T, pdim]
+    sigma_prior: SdPrior
+    initial_sd: float = 1.0
+    name: str = "dynamic_regression"
+
+    @property
+    def dim(self):
+        return self.predictors.shape[1]
+
+    @property
+    def err_dim(self):
+        return self.predictors.shape[1]
+
+    @staticmethod
+    def default(y, predictors, name="dynamic_regression"):
+        sd = float(jnp.std(y))
+        xsd = float(jnp.mean(jnp.std(predictors, axis=0)) + 1e-12)
+        return DynamicRegression(
+            predictors=predictors,
+            sigma_prior=SdPrior(sigma_guess=0.01 * sd / xsd,
+                                upper_limit=sd / xsd),
+            initial_sd=sd / xsd, name=name)
+
+    def z(self):
+        # static fallback (first row); composite uses z_seq
+        return self.predictors[0]
+
+    def z_seq(self, t_len):
+        return self.predictors
+
+    def build(self, params):
+        d = self.dim
+        return jnp.eye(d), jnp.eye(d), jnp.diag(params["sigma_dynreg_sq"])
+
+    def init_dist(self):
+        d = self.dim
+        return jnp.zeros((d,)), self.initial_sd**2 * jnp.eye(d)
+
+    def init_params(self, key):
+        u = jax.random.uniform(key, (self.dim,), minval=0.02, maxval=0.3)
+        return {"sigma_dynreg_sq": (self.initial_sd * u) ** 2}
+
+    def draw_params(self, key, params, path):
+        eta = path[1:] - path[:-1]  # [T-1, d]
+        keys = jax.random.split(key, self.dim)
+        sigs = jax.vmap(
+            lambda k, ss: self.sigma_prior.draw_variance(
+                k, eta.shape[0], ss))(keys, jnp.sum(eta * eta, axis=0))
+        return {"sigma_dynreg_sq": sigs}
+
+    def asis_groups(self):
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Random-walk holiday — reference RandomWalkHolidayStateModel.hpp +
+# Holiday.hpp date machinery; bsts add.random.walk.holiday
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class RandomWalkHoliday:
+    """Holiday-window effects: one state component per day of the holiday
+    influence window. Day j's effect follows a random walk that moves only
+    when that day recurs (reference RandomWalkHolidayStateModel: the state
+    variance is sigma^2 on active days, 0 otherwise); the observation
+    loads the active day's effect (time-varying one-hot Z_t).
+
+    active: [T] int array; active[t] = j in [0, window) when time t is
+    day j of the holiday window, else -1."""
+
+    active: jax.Array  # [T] int
+    window: int
+    sigma_prior: SdPrior
+    initial_sd: float = 1.0
+    name: str = "holiday"
+
+    @property
+    def dim(self):
+        return self.window
+
+    @property
+    def err_dim(self):
+        return self.window
+
+    @staticmethod
+    def default(y, active, window, name="holiday"):
+        sd = float(jnp.std(y))
+        return RandomWalkHoliday(
+            active=jnp.asarray(active), window=window,
+            sigma_prior=SdPrior(sigma_guess=0.1 * sd, upper_limit=sd),
+            initial_sd=sd, name=name)
+
+    def z(self):
+        return jnp.zeros((self.window,))
+
+    def z_seq(self, t_len):
+        onehot = jax.nn.one_hot(self.active, self.window,
+                                dtype=jnp.result_type(float))
+        return jnp.where((self.active >= 0)[:, None], onehot, 0.0)
+
+    def q_scale_seq(self, params, t_len):
+        # transition t -> t+1 refreshes the day active at t+1
+        nxt = jnp.concatenate([self.active[1:], jnp.asarray([-1])])
+        onehot = jax.nn.one_hot(nxt, self.window,
+                                dtype=jnp.result_type(float))
+        return jnp.where((nxt >= 0)[:, None], onehot, 0.0)
+
+    def build(self, params):
+        d = self.window
+        q_mat = params["sigma_holiday_sq"] * jnp.eye(d)
+        return jnp.eye(d), jnp.eye(d), q_mat
+
+    def init_dist(self):
+        d = self.window
+        return jnp.zeros((d,)), self.initial_sd**2 * jnp.eye(d)
+
+    def init_params(self, key):
+        u = jax.random.uniform(key, (), minval=0.05, maxval=0.5)
+        return {"sigma_holiday_sq": (self.initial_sd * u) ** 2}
+
+    def draw_params(self, key, params, path):
+        # innovations only on refresh steps
+        nxt = jnp.concatenate([self.active[1:], jnp.asarray([-1])])
+        onehot = jax.nn.one_hot(nxt, self.window,
+                                dtype=path.dtype)
+        mask = jnp.where((nxt >= 0)[:, None], onehot, 0.0)[:-1]
+        eta = (path[1:] - path[:-1]) * mask
+        n = jnp.sum(mask)
+        sigsq = self.sigma_prior.draw_variance(key, n, jnp.sum(eta * eta))
+        return {"sigma_holiday_sq": sigsq}
+
+    def asis_groups(self):
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Student local linear trend — reference StudentLocalLinearTrend.hpp +
+# StudentLocalLinearTrendPosteriorSampler; bsts
+# add.student.local.linear.trend
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class StudentLocalLinearTrend:
+    """LLT with t-distributed level/slope innovations via latent
+    per-time precision weights (scale mixture of normals): Q_t =
+    diag(sigma_level^2 / w_level_t, sigma_slope^2 / w_slope_t). The
+    weights are part of the block's params (imputed each sweep from the
+    state path); nu is slice-sampled (reference
+    StudentLocalLinearTrendPosteriorSampler draws weights + nu)."""
+
+    t_len: int
+    level_prior: SdPrior
+    slope_prior: SdPrior
+    initial_level_mean: float = 0.0
+    initial_level_sd: float = 1.0
+    initial_slope_sd: float = 1.0
+    nu_prior_rate: float = 0.1
+    name: str = "student_trend"
+    dim: int = 2
+    err_dim: int = 2
+
+    @staticmethod
+    def default(y, name="student_trend"):
+        sd = float(jnp.std(y))
+        return StudentLocalLinearTrend(
+            t_len=int(y.shape[0]),
+            level_prior=SdPrior(sigma_guess=0.01 * sd, upper_limit=sd),
+            slope_prior=SdPrior(sigma_guess=0.01 * sd, upper_limit=sd),
+            initial_level_mean=float(y[0]), initial_level_sd=sd,
+            initial_slope_sd=sd, name=name)
+
+    def z(self):
+        return jnp.asarray([1.0, 0.0])
+
+    def _t(self):
+        return jnp.asarray([[1.0, 1.0], [0.0, 1.0]])
+
+    def build(self, params):
+        q_mat = jnp.diag(jnp.stack([params["sigma_level_sq"],
+                                    params["sigma_slope_sq"]]))
+        return self._t(), jnp.eye(2), q_mat
+
+    def q_scale_seq(self, params, t_len):
+        # sd scale 1/sqrt(w); row t applies to transition t -> t+1
+        w = jnp.stack([params["w_level"], params["w_slope"]], axis=-1)
+        scale = 1.0 / jnp.sqrt(jnp.maximum(w, 1e-12))
+        return jnp.concatenate(
+            [scale, jnp.ones((1, 2), scale.dtype)], axis=0)
+
+    def init_dist(self):
+        return (jnp.asarray([self.initial_level_mean, 0.0]),
+                jnp.diag(jnp.asarray([self.initial_level_sd**2,
+                                      self.initial_slope_sd**2])))
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        u1 = jax.random.uniform(k1, (), minval=0.05, maxval=0.5)
+        u2 = jax.random.uniform(k2, (), minval=0.01, maxval=0.2)
+        ones = jnp.ones((self.t_len - 1,))
+        return {"sigma_level_sq": (self.initial_level_sd * u1) ** 2,
+                "sigma_slope_sq": (self.initial_level_sd * u2) ** 2,
+                "nu_level": jnp.asarray(10.0), "nu_slope": jnp.asarray(10.0),
+                "w_level": ones, "w_slope": ones}
+
+    def draw_params(self, key, params, path):
+        from boom_tpu.inference.kernels.slice import slice_step
+
+        ks = jax.random.split(key, 6)
+        eta = _innovations(path, self._t())  # [T-1, 2]
+
+        def impute_w(k, e, sigsq, nu):
+            return dists.gamma.sample(
+                k, 0.5 * (nu + 1.0), 0.5 * (nu + e * e / sigsq))
+
+        w_lvl = impute_w(ks[0], eta[:, 0], params["sigma_level_sq"],
+                         params["nu_level"])
+        w_slp = impute_w(ks[1], eta[:, 1], params["sigma_slope_sq"],
+                         params["nu_slope"])
+        lvl = self.level_prior.draw_variance(
+            ks[2], eta.shape[0], jnp.sum(w_lvl * eta[:, 0] ** 2))
+        slp = self.slope_prior.draw_variance(
+            ks[3], eta.shape[0], jnp.sum(w_slp * eta[:, 1] ** 2))
+
+        def nu_logpost(nu, w):
+            n = w.shape[0]
+            half = 0.5 * nu
+            return (n * (half * jnp.log(half)
+                         - jax.scipy.special.gammaln(half))
+                    + (half - 1.0) * jnp.sum(jnp.log(w))
+                    - half * jnp.sum(w) - self.nu_prior_rate * nu)
+
+        nu_lvl = slice_step(ks[4], params["nu_level"],
+                            lambda v: nu_logpost(v, w_lvl),
+                            width=2.0, lower=0.5, upper=500.0)
+        nu_slp = slice_step(ks[5], params["nu_slope"],
+                            lambda v: nu_logpost(v, w_slp),
+                            width=2.0, lower=0.5, upper=500.0)
+        return {"sigma_level_sq": lvl, "sigma_slope_sq": slp,
+                "nu_level": nu_lvl, "nu_slope": nu_slp,
+                "w_level": w_lvl, "w_slope": w_slp}
+
+    def asis_groups(self):
+        return []

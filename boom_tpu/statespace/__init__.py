@@ -3,7 +3,8 @@
 Reference: Models/StateSpace (SURVEY.md §2.6) + Interfaces/R/bsts.
 """
 
-from boom_tpu.statespace.bsts import Bsts
+from boom_tpu.statespace.bsts import Bsts, asis_redraw
+from boom_tpu.statespace.families import NonGaussianBsts
 from boom_tpu.statespace.kalman import (
     FilterResult,
     SsmParams,
@@ -28,7 +29,7 @@ from boom_tpu.statespace.state_models import (
 )
 
 __all__ = [
-    "Bsts",
+    "Bsts", "NonGaussianBsts", "asis_redraw",
     "SsmParams", "FilterResult", "kalman_filter", "fast_state_smoother",
     "smooth_states", "simulate", "simulation_smoother",
     "SdPrior", "LocalLevel", "LocalLinearTrend", "Seasonal", "Trig",

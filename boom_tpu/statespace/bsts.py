@@ -247,87 +247,8 @@ class Bsts:
 
     # -- ASIS interweaving ---------------------------------------------------
     def _asis_pass(self, key, state, y_adj):
-        """Non-centered (ancillary) re-draw of each state-innovation sigma.
-
-        For each variance group: hold the standardized innovations
-        tilde_eta = eta / sigma and the initial state fixed, so the state
-        path is affine in sigma: alpha(sigma) = alpha_rest + sigma * D,
-        where D is the path driven by tilde_eta alone. The conditional of
-        sigma is then 1-d with Gaussian likelihood terms (A, B) and the
-        SdPrior density; a bounded slice step redraws it, and the path is
-        rescaled. Composing this with the centered draw is the
-        ancillarity-sufficiency interweaving of Yu & Meng (2011) /
-        Fruhwirth-Schnatter & Wagner (2010) — it removes the slow mixing
-        of small state variances that the reference's pure centered
-        sampler exhibits."""
-        from boom_tpu.inference.kernels.slice import slice_step
-
-        params = self.ssm_params(state)
-        alpha = state["alpha"]
-        t_mat, r_mat = params.t_mat, params.r_mat
-        zs = params.zs(alpha.shape[0])
-        # innovations [T-1, q]: R is column-orthonormal (selector/identity)
-        eta = (alpha[1:] - alpha[:-1] @ t_mat.T) @ r_mat
-        sigsq_obs = state["sigsq_obs"]
-
-        new_blocks = {name: dict(v) for name, v in state["blocks"].items()}
-        groups = []
-        offset = 0
-        for b in self.blocks:
-            for pname, prior, dims in b.asis_groups():
-                groups.append((b.name, pname, prior,
-                               tuple(offset + d for d in dims)))
-            offset += b.err_dim
-
-        keys = jax.random.split(key, max(len(groups), 1))
-        for (bname, pname, prior, dims), gk in zip(groups, keys):
-            sig_cur = jnp.sqrt(jnp.maximum(new_blocks[bname][pname], 1e-30))
-            cols = jnp.zeros((eta.shape[1],), alpha.dtype)
-            for dcol in dims:
-                cols = cols.at[dcol].set(1.0)
-            tilde = (eta * cols[None, :]) / sig_cur  # [T-1, q]
-
-            # D path: recurrence driven by tilde through R (unit sigma)
-            w = tilde @ r_mat.T  # [T-1, d]
-
-            def rec(dprev, w_t):
-                dnext = t_mat @ dprev + w_t
-                return dnext, dnext
-
-            d0 = jnp.zeros((alpha.shape[1],), alpha.dtype)
-            _, dpath = jax.lax.scan(rec, d0, w, unroll=8)
-            dpath = jnp.concatenate([d0[None], dpath], axis=0)  # [T, d]
-
-            alpha_rest = alpha - sig_cur * dpath
-            g = jnp.einsum("td,td->t", zs, dpath)  # [T]
-            resid = y_adj - jnp.einsum("td,td->t", zs, alpha_rest)
-            a_coef = jnp.sum(g * g) / sigsq_obs
-            b_coef = jnp.sum(g * resid) / sigsq_obs
-
-            df = prior.sample_size
-            pss = prior.sample_size * prior.sigma_guess**2
-            upper = prior.upper_limit if prior.upper_limit < float(
-                "inf") else 1e6
-
-            def logp(sig):
-                sigsq = sig * sig
-                # SdPrior density on sigma: SIC(sig^2) * 2 sig
-                lp = (-(0.5 * df + 1.0) * jnp.log(sigsq)
-                      - 0.5 * pss / sigsq + jnp.log(2.0 * sig))
-                return lp + b_coef * sig - 0.5 * a_coef * sigsq
-
-            width = jnp.maximum(sig_cur, 0.05 * prior.sigma_guess)
-            sig_new = slice_step(gk, sig_cur, logp, width,
-                                 lower=1e-12, upper=upper)
-            alpha = alpha_rest + sig_new * dpath
-            eta = eta * (1.0 - cols[None, :]) \
-                + eta * cols[None, :] * (sig_new / sig_cur)
-            new_blocks[bname][pname] = sig_new * sig_new
-
-        out = dict(state)
-        out["alpha"] = alpha
-        out["blocks"] = new_blocks
-        return out
+        return asis_redraw(key, self.blocks, self.ssm_params(state), state,
+                           y_adj, state["sigsq_obs"])
 
     # -- likelihood / contributions -----------------------------------------
     def log_lik(self, state):
@@ -408,3 +329,88 @@ class Bsts:
 
         _, ys = jax.lax.scan(step, alpha_t, (k_scan, z_fut, s_fut))
         return ys
+
+
+def asis_redraw(key, blocks, params, state, y_adj, h):
+    """Non-centered (ancillary) re-draw of each state-innovation sigma.
+
+    For each variance group: hold the standardized innovations
+    tilde_eta = eta / sigma and the initial state fixed, so the state
+    path is affine in sigma: alpha(sigma) = alpha_rest + sigma * D,
+    where D is the path driven by tilde_eta alone. The conditional of
+    sigma is then 1-d with Gaussian likelihood terms (A, B) and the
+    SdPrior density; a bounded slice step redraws it, and the path is
+    rescaled. Composing this with the centered draw is the
+    ancillarity-sufficiency interweaving of Yu & Meng (2011) /
+    Fruhwirth-Schnatter & Wagner (2010) — it removes the slow mixing
+    of small state variances that the reference's pure centered
+    sampler exhibits.
+
+    `h` is the observation variance: scalar (Gaussian bsts) or [T]
+    (latent-Gaussian reductions of logit/Poisson/student families)."""
+    from boom_tpu.inference.kernels.slice import slice_step
+
+    alpha = state["alpha"]
+    t_mat, r_mat = params.t_mat, params.r_mat
+    zs = params.zs(alpha.shape[0])
+    # innovations [T-1, q]: R is column-orthonormal (selector/identity)
+    eta = (alpha[1:] - alpha[:-1] @ t_mat.T) @ r_mat
+
+    new_blocks = {name: dict(v) for name, v in state["blocks"].items()}
+    groups = []
+    offset = 0
+    for b in blocks:
+        for pname, prior, dims in b.asis_groups():
+            groups.append((b.name, pname, prior,
+                           tuple(offset + d for d in dims)))
+        offset += b.err_dim
+
+    keys = jax.random.split(key, max(len(groups), 1))
+    for (bname, pname, prior, dims), gk in zip(groups, keys):
+        sig_cur = jnp.sqrt(jnp.maximum(new_blocks[bname][pname], 1e-30))
+        cols = jnp.zeros((eta.shape[1],), alpha.dtype)
+        for dcol in dims:
+            cols = cols.at[dcol].set(1.0)
+        tilde = (eta * cols[None, :]) / sig_cur  # [T-1, q]
+
+        # D path: recurrence driven by tilde through R (unit sigma)
+        w = tilde @ r_mat.T  # [T-1, d]
+
+        def rec(dprev, w_t):
+            dnext = t_mat @ dprev + w_t
+            return dnext, dnext
+
+        d0 = jnp.zeros((alpha.shape[1],), alpha.dtype)
+        _, dpath = jax.lax.scan(rec, d0, w, unroll=8)
+        dpath = jnp.concatenate([d0[None], dpath], axis=0)  # [T, d]
+
+        alpha_rest = alpha - sig_cur * dpath
+        g = jnp.einsum("td,td->t", zs, dpath)  # [T]
+        resid = y_adj - jnp.einsum("td,td->t", zs, alpha_rest)
+        a_coef = jnp.sum(g * g / h)
+        b_coef = jnp.sum(g * resid / h)
+
+        df = prior.sample_size
+        pss = prior.sample_size * prior.sigma_guess**2
+        upper = prior.upper_limit if prior.upper_limit < float(
+            "inf") else 1e6
+
+        def logp(sig):
+            sigsq = sig * sig
+            # SdPrior density on sigma: SIC(sig^2) * 2 sig
+            lp = (-(0.5 * df + 1.0) * jnp.log(sigsq)
+                  - 0.5 * pss / sigsq + jnp.log(2.0 * sig))
+            return lp + b_coef * sig - 0.5 * a_coef * sigsq
+
+        width = jnp.maximum(sig_cur, 0.05 * prior.sigma_guess)
+        sig_new = slice_step(gk, sig_cur, logp, width,
+                             lower=1e-12, upper=upper)
+        alpha = alpha_rest + sig_new * dpath
+        eta = eta * (1.0 - cols[None, :]) \
+            + eta * cols[None, :] * (sig_new / sig_cur)
+        new_blocks[bname][pname] = sig_new * sig_new
+
+    out = dict(state)
+    out["alpha"] = alpha
+    out["blocks"] = new_blocks
+    return out

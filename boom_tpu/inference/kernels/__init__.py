@@ -1,6 +1,7 @@
 """Generic MCMC kernels (reference Samplers/ layer, SURVEY.md §2.4) plus
 the HMC/MALA additions."""
 
+from boom_tpu.inference.kernels.nuts import nuts_kernel, nuts_step
 from boom_tpu.inference.kernels.hmc import (
     HmcState,
     dual_averaging_update,
@@ -27,6 +28,7 @@ from boom_tpu.inference.kernels.slice import (
 )
 
 __all__ = [
+    "nuts_kernel", "nuts_step",
     "HmcState", "hmc_init", "hmc_step", "hmc_kernel", "leapfrog",
     "dual_averaging_update", "welford_update", "finalize_adaptation",
     "mala_step", "mala_kernel",

@@ -5,6 +5,13 @@ Reference: Models/StateSpace (SURVEY.md §2.6) + Interfaces/R/bsts.
 
 from boom_tpu.statespace.bsts import Bsts, asis_redraw
 from boom_tpu.statespace.families import NonGaussianBsts
+from boom_tpu.statespace.multivariate import (
+    MultivariateBsts,
+    MvSsmParams,
+    mv_kalman_filter,
+    mv_fast_state_smoother,
+    mv_simulation_smoother,
+)
 from boom_tpu.statespace.kalman import (
     FilterResult,
     SsmParams,
@@ -30,6 +37,8 @@ from boom_tpu.statespace.state_models import (
 
 __all__ = [
     "Bsts", "NonGaussianBsts", "asis_redraw",
+    "MultivariateBsts", "MvSsmParams", "mv_kalman_filter",
+    "mv_fast_state_smoother", "mv_simulation_smoother",
     "SsmParams", "FilterResult", "kalman_filter", "fast_state_smoother",
     "smooth_states", "simulate", "simulation_smoother",
     "SdPrior", "LocalLevel", "LocalLinearTrend", "Seasonal", "Trig",

@@ -1,0 +1,148 @@
+"""Multivariate state space (mbsts): vector Kalman + shared-factor Gibbs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boom_tpu.models.glm.regression import SpikeSlabPrior
+from boom_tpu.statespace import SsmParams, kalman_filter
+from boom_tpu.statespace.multivariate import (
+    MultivariateBsts,
+    MvSsmParams,
+    mv_fast_state_smoother,
+    mv_kalman_filter,
+    mv_simulation_smoother,
+)
+
+
+def _scalar_as_mv(params: SsmParams):
+    return MvSsmParams(
+        z=params.z[None, :], t_mat=params.t_mat, r_mat=params.r_mat,
+        q_mat=params.q_mat, h_diag=params.h[None], a0=params.a0,
+        p0=params.p0)
+
+
+def test_mv_filter_matches_scalar(rng_key):
+    t_len = 60
+    params = SsmParams(
+        z=jnp.asarray([1.0, 0.0]),
+        t_mat=jnp.asarray([[1.0, 1.0], [0.0, 1.0]]),
+        r_mat=jnp.eye(2), q_mat=0.1 * jnp.eye(2), h=jnp.asarray(0.4),
+        a0=jnp.zeros(2), p0=jnp.eye(2))
+    y = jax.random.normal(rng_key, (t_len,))
+    scalar = kalman_filter(params, y)
+    mv = mv_kalman_filter(_scalar_as_mv(params), y[:, None])
+    np.testing.assert_allclose(float(mv.loglik), float(scalar.loglik),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(mv.a), np.asarray(scalar.a),
+                               atol=1e-10)
+
+
+def test_mv_smoother_matches_scalar(rng_key):
+    from boom_tpu.statespace import smooth_states
+
+    t_len = 50
+    params = SsmParams(
+        z=jnp.asarray([1.0]), t_mat=jnp.eye(1), r_mat=jnp.eye(1),
+        q_mat=0.2 * jnp.eye(1), h=jnp.asarray(0.3), a0=jnp.zeros(1),
+        p0=jnp.eye(1))
+    y = jnp.cumsum(jax.random.normal(rng_key, (t_len,)) * 0.4)
+    s_ref = smooth_states(params, y)
+    mvp = _scalar_as_mv(params)
+    filt = mv_kalman_filter(mvp, y[:, None])
+    s_mv = mv_fast_state_smoother(mvp, filt)
+    np.testing.assert_allclose(np.asarray(s_mv), np.asarray(s_ref),
+                               atol=1e-9)
+
+
+def test_mv_simulation_smoother_moments(rng_key):
+    t_len, k_dim, j_dim = 25, 3, 1
+    lam = jnp.asarray([[1.0], [0.7], [1.3]])
+    params = MvSsmParams(
+        z=lam, t_mat=jnp.eye(1), r_mat=jnp.eye(1),
+        q_mat=0.1 * jnp.eye(1), h_diag=jnp.full((3,), 0.2),
+        a0=jnp.zeros(1), p0=jnp.eye(1))
+    key1, key2 = jax.random.split(rng_key)
+    y = jnp.cumsum(0.3 * jax.random.normal(key1, (t_len,)))[:, None] * lam.T
+    filt = mv_kalman_filter(params, y)
+    mean = mv_fast_state_smoother(params, filt)
+    draws = jax.vmap(
+        lambda k: mv_simulation_smoother(k, params, y))(
+        jax.random.split(key2, 500))
+    emp = jnp.mean(draws, 0)
+    np.testing.assert_allclose(np.asarray(emp), np.asarray(mean), atol=0.1)
+
+
+def test_mbsts_recovers_shared_factor(rng_key):
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    t_len, k_dim = 200, 4
+    factor = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,)))
+    lam_true = jnp.asarray([1.0, 0.8, 1.2, 0.5])
+    y = factor[:, None] * lam_true[None, :] + 0.3 * jax.random.normal(
+        k2, (t_len, k_dim))
+    model = MultivariateBsts(y=y, num_factors=1)
+    kernel = model.kernel()
+
+    @jax.jit
+    def run(key):
+        st = model.init_state(key)
+
+        def step(s, k):
+            s = kernel(k, s)
+            return s, (s["alpha"], s["loadings"])
+
+        return jax.lax.scan(step, st,
+                            jax.random.split(jax.random.key(1), 300))
+
+    _, (alphas, loadings) = run(k3)
+    # fitted common component should match factor * lambda per series
+    fit = jnp.einsum("stj,skj->stk", alphas[150:], loadings[150:]).mean(0)
+    truth = factor[:, None] * lam_true[None, :]
+    rmse = float(jnp.sqrt(jnp.mean((fit - truth) ** 2)))
+    assert rmse < 0.25, rmse
+
+
+def test_mbsts_with_regression(rng_key):
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    t_len, k_dim = 250, 3
+    x = jax.random.normal(k1, (t_len, 4))
+    beta_true = jnp.zeros((k_dim, 4)).at[:, 0].set(
+        jnp.asarray([2.0, -1.0, 0.5]))
+    factor = jnp.cumsum(0.2 * jax.random.normal(k2, (t_len,)))
+    y = (factor[:, None] * jnp.ones((1, k_dim))
+         + x @ beta_true.T + 0.3 * jax.random.normal(k3, (t_len, k_dim)))
+    prior = SpikeSlabPrior.from_data(
+        x, y[:, 0], expected_model_size=1.0,
+        prior_information_weight=0.01)
+    model = MultivariateBsts(y=y, num_factors=1, predictors=x,
+                             reg_prior=prior)
+    kernel = model.kernel()
+
+    @jax.jit
+    def run(key):
+        st = model.init_state(key)
+
+        def step(s, k):
+            s = kernel(k, s)
+            return s, s["beta"]
+
+        return jax.lax.scan(step, st,
+                            jax.random.split(jax.random.key(2), 300))
+
+    _, betas = run(jax.random.key(3))
+    b_est = np.asarray(jnp.mean(betas[150:], 0))
+    np.testing.assert_allclose(b_est[:, 0], [2.0, -1.0, 0.5], atol=0.25)
+    assert np.all(np.abs(b_est[:, 1:]) < 0.15), b_est
+
+
+def test_mbsts_predict_shapes(rng_key):
+    t_len, k_dim = 80, 2
+    y = jax.random.normal(rng_key, (t_len, k_dim))
+    model = MultivariateBsts(y=y, num_factors=1)
+    state = model.init_state(jax.random.key(1))
+    kern = jax.jit(model.kernel())
+    for i in range(20):
+        state = kern(jax.random.key(10 + i), state)
+    ys = model.predict(jax.random.key(2), state, horizon=7)
+    assert ys.shape == (7, 2)
+    assert bool(jnp.all(jnp.isfinite(ys)))

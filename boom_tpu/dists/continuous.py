@@ -697,7 +697,21 @@ class gig:
 
     @staticmethod
     def sample(key, lam, chi, psi, shape=None, nrej: int = 64):
-        """Rejection sampler with mode-centered envelope, fixed trip count."""
+        """GIG draws. lam = +-1/2 (static scalar) uses the EXACT inverse-
+        Gaussian route: GIG(-1/2, chi, psi) = IG(sqrt(chi/psi), chi) and
+        GIG(1/2, chi, psi) = 1 / GIG(-1/2, psi, chi) — these are the
+        cases hit by the quantile-regression and inverse-Gaussian-mixture
+        augmentations. Other lam fall back to the fixed-trip rejection
+        sampler (approximate; mode-centered envelope)."""
+        if isinstance(lam, (int, float)) and abs(abs(lam) - 0.5) < 1e-12:
+            if lam < 0:
+                fs, (chi_, psi_) = _bcast(shape, chi, psi)
+                mu = jnp.sqrt(chi_ / psi_)
+                return inverse_gaussian.sample(key, mu, chi_)
+            fs, (chi_, psi_) = _bcast(shape, chi, psi)
+            mu = jnp.sqrt(psi_ / chi_)
+            w = inverse_gaussian.sample(key, mu, psi_)
+            return 1.0 / w
         fs, (lam_, chi_, psi_) = _bcast(shape, lam, chi, psi)
         dtype = _float_dtype(lam_, chi_, psi_)
         lam_, chi_, psi_ = (v.astype(dtype) for v in (lam_, chi_, psi_))

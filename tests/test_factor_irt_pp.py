@@ -1,0 +1,136 @@
+"""Factor models, IRT, point processes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boom_tpu.models.factor import MultinomialFactorModel, PoissonFactorModel
+from boom_tpu.models.irt import PartialCredit, TwoPl
+from boom_tpu.models.point_process import (
+    HomogeneousPoissonProcess,
+    MarkovModulatedPoissonProcess,
+    WeeklyCyclePoissonProcess,
+)
+
+
+def run_chains(model, key, n_iter=300, n_chains=2, burn=120):
+    ki, kr = jax.random.split(key)
+    init = jax.vmap(model.init_state)(jax.random.split(ki, n_chains))
+    kernel = model.kernel()
+
+    @jax.jit
+    def run(keys, state):
+        def step(state, ks):
+            new = jax.vmap(kernel)(ks, state)
+            return new, new
+
+        return jax.lax.scan(
+            step, state,
+            jax.vmap(lambda k: jax.random.split(k, n_iter))(keys).swapaxes(
+                0, 1))
+
+    _, draws = run(jax.random.split(kr, n_chains), init)
+    return jax.tree_util.tree_map(lambda a: a[burn:], draws)
+
+
+# -- factor models --------------------------------------------------------------
+
+def test_poisson_factor_recovers_classes(rng_key):
+    counts, z_true, lam_true = PoissonFactorModel.simulate(
+        rng_key, num_visitors=300, num_sites=20, num_classes=2,
+        scale=3.0)
+    model = PoissonFactorModel(counts=counts, num_classes=2)
+    # single chain: mixture labels switch between chains, so per-chain
+    # posterior means are the meaningful object (reference tests relabel)
+    draws = run_chains(model, jax.random.key(1), n_chains=1)
+    state = {k: jnp.mean(v[:, 0], 0) for k, v in draws.items()}
+    logits = model.class_logits(state)
+    z_hat = np.asarray(jnp.argmax(logits, -1))
+    z_np = np.asarray(z_true)
+    acc = max(np.mean(z_hat == z_np), np.mean(z_hat == 1 - z_np))
+    assert acc > 0.9, acc
+
+
+def test_multinomial_factor_separates(rng_key):
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    v, s = 400, 10
+    prof0 = jnp.concatenate([jnp.full((5,), 0.18), jnp.full((5,), 0.02)])
+    prof1 = prof0[::-1]
+    z = jax.random.bernoulli(k1, 0.5, (v,)).astype(jnp.int32)
+    profiles = jnp.stack([prof0, prof1], 1)  # [S, 2]
+    n_visits = 30
+    counts = jax.vmap(
+        lambda k, zz: jax.random.multinomial(
+            k, n_visits, profiles[:, zz]))(
+        jax.random.split(k2, v), z)
+    model = MultinomialFactorModel(counts=counts, num_classes=2)
+    draws = run_chains(model, jax.random.key(2), n_chains=1)
+    state = {k: jnp.mean(v_[:, 0], 0) for k, v_ in draws.items()}
+    z_hat = np.asarray(jnp.argmax(model.class_logits(state), -1))
+    z_np = np.asarray(z)
+    acc = max(np.mean(z_hat == z_np), np.mean(z_hat == 1 - z_np))
+    assert acc > 0.95, acc
+
+
+# -- IRT -------------------------------------------------------------------------
+
+def test_2pl_recovers_abilities(rng_key):
+    y, theta, a, b = TwoPl.simulate(rng_key, n=400, j=30)
+    model = TwoPl(responses=y)
+    draws = run_chains(model, jax.random.key(1), n_iter=400, burn=150)
+    th_est = np.asarray(jnp.mean(draws["theta"], (0, 1)))
+    r = np.corrcoef(th_est, np.asarray(theta))[0, 1]
+    assert r > 0.85, r
+    b_est = np.asarray(jnp.mean(draws["b"], (0, 1)))
+    rb = np.corrcoef(b_est, np.asarray(b))[0, 1]
+    assert rb > 0.85, rb
+
+
+def test_partial_credit_recovers(rng_key):
+    y, theta, delta = PartialCredit.simulate(rng_key, n=400, j=20, m=4)
+    model = PartialCredit(responses=y, num_categories=4)
+    draws = run_chains(model, jax.random.key(2), n_iter=300, burn=120)
+    th_est = np.asarray(jnp.mean(draws["theta"], (0, 1)))
+    r = np.corrcoef(th_est, np.asarray(theta))[0, 1]
+    assert r > 0.8, r
+    d_est = np.asarray(jnp.mean(draws["delta"], (0, 1)))
+    rd = np.corrcoef(d_est.ravel(), np.asarray(delta).ravel())[0, 1]
+    assert rd > 0.8, rd
+
+
+# -- point processes --------------------------------------------------------------
+
+def test_homogeneous_pp_conjugate(rng_key):
+    n = HomogeneousPoissonProcess.simulate(rng_key, rate=3.0,
+                                           total_time=200.0)
+    pp = HomogeneousPoissonProcess(num_events=n, total_time=200.0)
+    draws = jax.vmap(pp.draw_rate)(jax.random.split(jax.random.key(1),
+                                                    3000))
+    assert abs(float(jnp.mean(draws)) - 3.0) < 0.3
+
+
+def test_weekly_cycle_recovers_profiles(rng_key):
+    day = jnp.asarray([0.5, 1.0, 1.0, 1.0, 1.0, 1.5, 1.0])
+    hour = jnp.ones((24,)).at[8:18].set(1.6)
+    hour = hour / jnp.mean(hour)
+    counts, exposure = WeeklyCyclePoissonProcess.simulate(
+        rng_key, 10.0, day, hour, weeks=30.0)
+    model = WeeklyCyclePoissonProcess(counts=counts, exposure=exposure)
+    draws = run_chains(model, jax.random.key(1), n_iter=300, burn=120)
+    day_est = np.asarray(jnp.mean(draws["day"], (0, 1)))
+    np.testing.assert_allclose(day_est, np.asarray(day), atol=0.12)
+    lam0 = float(jnp.mean(draws["lam0"]))
+    assert abs(lam0 - 10.0) < 1.0, lam0
+
+
+def test_mmpp_recovers_states(rng_key):
+    trans = jnp.asarray([[0.97, 0.03], [0.05, 0.95]])
+    counts, z_true = MarkovModulatedPoissonProcess.simulate(
+        rng_key, t_len=1500, dt=1.0, rates=[2.0, 8.0], trans=trans)
+    model = MarkovModulatedPoissonProcess(counts=counts, dt=1.0,
+                                          num_states=2)
+    draws = run_chains(model, jax.random.key(1), n_iter=300, burn=120)
+    rates = np.asarray(jnp.mean(draws["rates"], (0, 1)))
+    np.testing.assert_allclose(rates, [2.0, 8.0], atol=0.6)
+    t_est = np.asarray(jnp.mean(draws["trans"], (0, 1)))
+    np.testing.assert_allclose(np.diag(t_est), [0.97, 0.95], atol=0.05)

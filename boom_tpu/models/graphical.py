@@ -1,0 +1,134 @@
+"""Discrete directed graphical models with exact inference.
+
+Reference: Models/Graphical — DirectedGraphicalModel.hpp, Clique /
+JunctionTree (JunctionTree.hpp:55), NodeSetMarginalDistribution: exact
+message passing for categorical DAGs.
+
+TPU-native design: a junction tree's purpose is to pick a good
+elimination order for tensor contractions — on TPU the natural engine
+for that IS einsum (XLA picks fused contraction schedules). A
+DiscreteBayesNet stores one CPT tensor per node; queries compile to a
+single einsum over the factor tensors with evidence applied as masks.
+This is exactly the junction-tree computation (variable elimination) in
+its tensor form, jit-able and batchable over evidence rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import string
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Node:
+    name: str
+    num_levels: int
+    parents: tuple  # parent names, ordered as CPT leading axes
+    cpt: jax.Array  # [parent levels..., num_levels]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscreteBayesNet:
+    """Categorical DAG with exact inference via einsum contraction."""
+
+    nodes: Sequence[Node]
+
+    def __post_init__(self):
+        names = [n.name for n in self.nodes]
+        assert len(set(names)) == len(names), "duplicate node names"
+        order = {n: i for i, n in enumerate(names)}
+        for node in self.nodes:
+            for p in node.parents:
+                assert order[p] < order[node.name], (
+                    f"{node.name} before parent {p}: order topologically")
+
+    def _axes(self):
+        letters = string.ascii_letters
+        return {n.name: letters[i] for i, n in enumerate(self.nodes)}
+
+    def log_joint_tensor(self):
+        """Dense joint log-probability tensor (small nets only): sum of
+        broadcast-reshaped CPT log tensors."""
+        shape = tuple(n.num_levels for n in self.nodes)
+        total = jnp.zeros(shape)
+        idx = {n.name: i for i, n in enumerate(self.nodes)}
+        for node in self.nodes:
+            dims = [idx[p] for p in node.parents] + [idx[node.name]]
+            logp = jnp.log(jnp.clip(node.cpt, 1e-300, None))
+            # permute cpt axes into ascending global order, then reshape
+            # with singleton axes for broadcasting
+            order = sorted(range(len(dims)), key=lambda i: dims[i])
+            logp = jnp.transpose(logp, order)
+            sorted_dims = sorted(dims)
+            view = [shape[d] if d in sorted_dims else 1
+                    for d in range(len(self.nodes))]
+            total = total + logp.reshape(view)
+        return total
+
+    def marginal(self, query: str, evidence: dict | None = None):
+        """P(query | evidence) by summing the joint with evidence masks
+        (variable elimination via XLA reductions; exact)."""
+        evidence = evidence or {}
+        logj = self.log_joint_tensor()
+        idx = {n.name: i for i, n in enumerate(self.nodes)}
+        for name, val in evidence.items():
+            node = self.nodes[idx[name]]
+            mask = jax.nn.one_hot(val, node.num_levels) > 0
+            view = [1] * len(self.nodes)
+            view[idx[name]] = node.num_levels
+            logj = jnp.where(mask.reshape(view), logj, -jnp.inf)
+        keep = idx[query]
+        axes = tuple(i for i in range(len(self.nodes)) if i != keep)
+        logm = jax.scipy.special.logsumexp(logj, axis=axes)
+        return jax.nn.softmax(logm)
+
+    def loglik(self, assignments):
+        """Log probability of full assignment rows [n, num_nodes]
+        (columns in node order)."""
+        total = 0.0
+        idx = {n.name: i for i, n in enumerate(self.nodes)}
+        for node in self.nodes:
+            cols = [assignments[:, idx[p]] for p in node.parents]
+            cols.append(assignments[:, idx[node.name]])
+            total = total + jnp.log(jnp.clip(
+                node.cpt[tuple(cols)], 1e-300, None))
+        return total
+
+    def sample(self, key, n):
+        """Ancestral sampling: [n, num_nodes] integer assignments."""
+        idx = {node.name: i for i, node in enumerate(self.nodes)}
+        out = jnp.zeros((n, len(self.nodes)), jnp.int32)
+        for node in self.nodes:
+            key, k = jax.random.split(key)
+            cols = tuple(out[:, idx[p]] for p in node.parents)
+            probs = node.cpt[cols] if node.parents else jnp.broadcast_to(
+                node.cpt, (n, node.num_levels))
+            draw = jax.random.categorical(
+                k, jnp.log(jnp.clip(probs, 1e-300, None)), axis=-1)
+            out = out.at[:, idx[node.name]].set(draw.astype(jnp.int32))
+        return out
+
+    def conjugate_cpt_draws(self, key, assignments, prior=1.0):
+        """Posterior CPT draws given complete data (Dirichlet rows;
+        reference's conjugate CPD updates). Returns a new net."""
+        from boom_tpu import dists
+
+        idx = {node.name: i for i, node in enumerate(self.nodes)}
+        new_nodes = []
+        for node in self.nodes:
+            key, k = jax.random.split(key)
+            cols = [assignments[:, idx[p]] for p in node.parents]
+            cols.append(assignments[:, idx[node.name]])
+            # count tensor via scatter-add
+            shape = node.cpt.shape
+            flat_idx = jnp.ravel_multi_index(
+                tuple(cols), shape, mode="clip")
+            counts = jnp.zeros(int(jnp.prod(jnp.asarray(shape)))).at[
+                flat_idx].add(1.0).reshape(shape)
+            cpt = dists.dirichlet.sample(k, prior + counts)
+            new_nodes.append(dataclasses.replace(node, cpt=cpt))
+        return DiscreteBayesNet(nodes=new_nodes)

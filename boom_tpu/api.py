@@ -1,0 +1,364 @@
+"""User-facing API: the spikeslab / bsts package analogs.
+
+Reference: Interfaces/python/spikeslab (lm_spike at spikeslab.py:85,
+priors), Interfaces/python/bsts (Bsts class bsts.py:17, train :115,
+suggest_burn :398, BstsPrediction :1181), and the R front ends
+BoomSpikeSlab::lm.spike / bsts::bsts.
+
+The classes here wrap the functional models in boom_tpu.models /
+boom_tpu.statespace with the reference's ergonomics: construct, train
+(everything jitted, all chains at once), summarize, predict. Where the
+reference records draws by crossing pybind11 twice per iteration
+(SURVEY.md §3.4), training here is one XLA program and draws land in
+device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boom_tpu.inference import diagnostics
+from boom_tpu.inference.driver import McmcResult, run_mcmc
+
+
+def suggest_burn(loglik_path, proportion=0.1):
+    """Suggest a burn-in from a log-likelihood path (reference
+    bsts.py:398 suggest_burn): first index where the path reaches the
+    lower quantile of its final stretch."""
+    ll = np.asarray(loglik_path)
+    if ll.ndim > 1:
+        ll = ll.mean(axis=tuple(range(ll.ndim - 1)))
+    tail = ll[int(len(ll) * 0.5):]
+    cutoff = np.quantile(tail, 0.1)
+    idx = np.argmax(ll >= cutoff)
+    return int(min(max(idx, int(proportion * len(ll))), len(ll) - 1))
+
+
+def _coef_table(beta, gamma, names=None):
+    """Posterior summary rows for spike-slab coefficients."""
+    beta = np.asarray(beta).reshape(-1, beta.shape[-1])
+    gamma = np.asarray(gamma).reshape(-1, gamma.shape[-1])
+    p = beta.shape[1]
+    names = names or [f"x{j}" for j in range(p)]
+    rows = []
+    for j in range(p):
+        b = beta[:, j]
+        inc = gamma[:, j].mean()
+        nz = b[np.abs(b) > 0]
+        rows.append({
+            "name": names[j],
+            "inclusion_prob": float(inc),
+            "mean": float(b.mean()),
+            "mean_given_inclusion": float(nz.mean()) if nz.size else 0.0,
+            "sd": float(b.std()),
+            "q025": float(np.quantile(b, 0.025)),
+            "q975": float(np.quantile(b, 0.975)),
+        })
+    return rows
+
+
+class _SpikeBase:
+    """Shared train/summary plumbing for the *.spike classes."""
+
+    _model = None
+    _result: McmcResult | None = None
+    _names: Sequence[str] | None = None
+
+    def _fit(self, model, niter, num_chains, burn, seed):
+        self._model = model
+        self._result = run_mcmc(
+            jax.random.key(seed), model.kernel(), model.init_state,
+            num_draws=niter, num_chains=num_chains, burn=burn)
+        return self
+
+    @property
+    def draws(self):
+        return self._result.draws
+
+    def coefficients(self):
+        return _coef_table(self.draws["beta"], self.draws["gamma"],
+                           self._names)
+
+    def summary(self):
+        out = {"coefficients": self.coefficients()}
+        if "sigsq" in self.draws:
+            s = np.sqrt(np.asarray(self.draws["sigsq"]).ravel())
+            out["residual_sd"] = {
+                "mean": float(s.mean()),
+                "q025": float(np.quantile(s, 0.025)),
+                "q975": float(np.quantile(s, 0.975))}
+        out["diagnostics"] = {
+            "beta_rhat": np.asarray(
+                diagnostics.potential_scale_reduction(
+                    self.draws["beta"])).tolist(),
+        }
+        return out
+
+
+class LmSpike(_SpikeBase):
+    """lm.spike / lm_spike (reference spikeslab.py:85)."""
+
+    def __init__(self, expected_model_size=1.0, names=None, **prior_kw):
+        self._prior_kw = dict(prior_kw,
+                              expected_model_size=expected_model_size)
+        self._names = names
+
+    def fit(self, x, y, niter=1000, num_chains=4, burn=200, seed=0):
+        from boom_tpu.models.glm import SpikeSlabRegression
+
+        model = SpikeSlabRegression.from_data(
+            jnp.asarray(x), jnp.asarray(y), **self._prior_kw)
+        return self._fit(model, niter, num_chains, burn, seed)
+
+    def predict(self, x_new, seed=0):
+        """Posterior-predictive draws [draws, n_new]."""
+        x_new = jnp.asarray(x_new)
+        beta = self.draws["beta"].reshape(-1, x_new.shape[1])
+        sig = jnp.sqrt(self.draws["sigsq"].reshape(-1))
+        eta = beta @ x_new.T
+        eps = jax.random.normal(jax.random.key(seed), eta.shape)
+        return eta + sig[:, None] * eps
+
+
+class LogitSpike(_SpikeBase):
+    """logit.spike (reference BoomSpikeSlab/R/logit.spike.R)."""
+
+    def __init__(self, expected_model_size=1.0, names=None, **prior_kw):
+        self._prior_kw = dict(prior_kw,
+                              expected_model_size=expected_model_size)
+        self._names = names
+
+    def fit(self, x, y, niter=1000, num_chains=4, burn=200, seed=0):
+        from boom_tpu.models.glm import LogitSpikeSlab
+
+        model = LogitSpikeSlab.from_data(
+            jnp.asarray(x), jnp.asarray(y), **self._prior_kw)
+        return self._fit(model, niter, num_chains, burn, seed)
+
+    def predict_prob(self, x_new):
+        beta = self.draws["beta"].reshape(-1, jnp.asarray(x_new).shape[1])
+        return jax.nn.sigmoid(beta @ jnp.asarray(x_new).T)
+
+
+class ProbitSpike(LogitSpike):
+    """probit.spike."""
+
+    def fit(self, x, y, niter=1000, num_chains=4, burn=200, seed=0):
+        from boom_tpu.models.glm import ProbitSpikeSlab
+
+        model = ProbitSpikeSlab.from_data(
+            jnp.asarray(x), jnp.asarray(y), **self._prior_kw)
+        return self._fit(model, niter, num_chains, burn, seed)
+
+    def predict_prob(self, x_new):
+        beta = self.draws["beta"].reshape(-1, jnp.asarray(x_new).shape[1])
+        return jax.scipy.stats.norm.cdf(beta @ jnp.asarray(x_new).T)
+
+
+class PoissonSpike(_SpikeBase):
+    """poisson.spike."""
+
+    def __init__(self, expected_model_size=1.0, names=None, **prior_kw):
+        self._prior_kw = dict(prior_kw,
+                              expected_model_size=expected_model_size)
+        self._names = names
+
+    def fit(self, x, y, exposure=None, niter=1000, num_chains=4,
+            burn=200, seed=0):
+        from boom_tpu.models.glm import PoissonSpikeSlab
+
+        model = PoissonSpikeSlab.from_data(
+            jnp.asarray(x), jnp.asarray(y), exposure=exposure,
+            **self._prior_kw)
+        return self._fit(model, niter, num_chains, burn, seed)
+
+
+class QregSpike(_SpikeBase):
+    """qreg.spike."""
+
+    def __init__(self, tau=0.5, expected_model_size=1.0, names=None):
+        self._tau = tau
+        self._ems = expected_model_size
+        self._names = names
+
+    def fit(self, x, y, niter=1000, num_chains=4, burn=200, seed=0):
+        from boom_tpu.models.glm.quantile import QuantileSpikeSlab
+
+        model = QuantileSpikeSlab.from_data(
+            jnp.asarray(x), jnp.asarray(y), tau=self._tau,
+            expected_model_size=self._ems)
+        return self._fit(model, niter, num_chains, burn, seed)
+
+
+@dataclasses.dataclass
+class BstsModel:
+    """Builder-style bsts front end (reference bsts.Bsts, bsts.py:17;
+    R bsts() with add.* specs):
+
+        model = (BstsModel()
+                 .add_local_linear_trend()
+                 .add_seasonal(nseasons=7))
+        model.fit(y, predictors=x, niter=1000)
+        model.predict(horizon=30)
+    """
+
+    _specs: list = dataclasses.field(default_factory=list)
+    _model: Any = None
+    _result: McmcResult | None = None
+    _loglik: Any = None
+
+    # -- state spec builders (reference add.* files) ------------------------
+    def add_local_level(self, **kw):
+        self._specs.append(("local_level", kw))
+        return self
+
+    def add_local_linear_trend(self, **kw):
+        self._specs.append(("local_linear_trend", kw))
+        return self
+
+    def add_semilocal_linear_trend(self, **kw):
+        self._specs.append(("semilocal_linear_trend", kw))
+        return self
+
+    def add_student_local_linear_trend(self, **kw):
+        self._specs.append(("student_local_linear_trend", kw))
+        return self
+
+    def add_seasonal(self, nseasons, **kw):
+        self._specs.append(("seasonal", dict(kw, nseasons=nseasons)))
+        return self
+
+    def add_trig(self, period, nfreq, **kw):
+        self._specs.append(("trig", dict(kw, period=period, nfreq=nfreq)))
+        return self
+
+    def add_ar(self, lags=1, **kw):
+        self._specs.append(("ar", dict(kw, lags=lags)))
+        return self
+
+    def add_static_intercept(self, **kw):
+        self._specs.append(("static_intercept", kw))
+        return self
+
+    def add_dynamic_regression(self, predictors, **kw):
+        self._specs.append(
+            ("dynamic_regression", dict(kw, predictors=predictors)))
+        return self
+
+    def add_random_walk_holiday(self, active, window, **kw):
+        self._specs.append(
+            ("holiday", dict(kw, active=active, window=window)))
+        return self
+
+    def _build_blocks(self, y):
+        from boom_tpu.statespace import state_models as sm
+
+        builders = {
+            "local_level": lambda kw: sm.LocalLevel.default(y, **kw),
+            "local_linear_trend":
+                lambda kw: sm.LocalLinearTrend.default(y, **kw),
+            "semilocal_linear_trend":
+                lambda kw: sm.SemilocalLinearTrend.default(y, **kw),
+            "student_local_linear_trend":
+                lambda kw: sm.StudentLocalLinearTrend.default(y, **kw),
+            "seasonal": lambda kw: sm.Seasonal.default(y, **kw),
+            "trig": lambda kw: sm.Trig.default(y, **kw),
+            "ar": lambda kw: sm.ArState.default(y, **kw),
+            "static_intercept":
+                lambda kw: sm.StaticIntercept.default(y, **kw),
+            "dynamic_regression":
+                lambda kw: sm.DynamicRegression.default(y, **kw),
+            "holiday": lambda kw: sm.RandomWalkHoliday.default(y, **kw),
+        }
+        return [builders[name](kw) for name, kw in self._specs]
+
+    def fit(self, y, predictors=None, family="gaussian",
+            expected_model_size=1.0, niter=1000, num_chains=4, burn=200,
+            seed=0, **model_kw):
+        from boom_tpu.models.glm.regression import SpikeSlabPrior
+        from boom_tpu.statespace import Bsts
+        from boom_tpu.statespace.families import NonGaussianBsts
+
+        y = jnp.asarray(y)
+        blocks = self._build_blocks(y)
+        reg_prior = None
+        if predictors is not None:
+            predictors = jnp.asarray(predictors)
+            reg_prior = SpikeSlabPrior.from_data(
+                predictors, jnp.asarray(y, predictors.dtype),
+                expected_model_size=expected_model_size,
+                prior_information_weight=(
+                    0.01 if family != "gaussian" else 1.0))
+        if family == "gaussian":
+            self._model = Bsts(y=y, blocks=blocks, predictors=predictors,
+                               reg_prior=reg_prior, **model_kw)
+        else:
+            self._model = NonGaussianBsts(
+                y=y, blocks=blocks, family=family, predictors=predictors,
+                reg_prior=reg_prior, **model_kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    @property
+    def draws(self):
+        return self._result.draws
+
+    def state_contribution_draws(self):
+        """Per-block contribution paths over all draws."""
+        flat = self._result.stacked()
+        return jax.vmap(self._model.state_contributions)(flat)
+
+    def coefficients(self):
+        assert "beta" in self.draws, "no regression component"
+        return _coef_table(self.draws["beta"], self.draws["gamma"])
+
+    def summary(self):
+        out = {}
+        if "sigsq_obs" in self.draws:
+            s = np.sqrt(np.asarray(self.draws["sigsq_obs"]).reshape(-1))
+            out["observation_sd"] = {
+                "mean": float(s.mean()),
+                "q025": float(np.quantile(s, 0.025)),
+                "q975": float(np.quantile(s, 0.975))}
+        if "beta" in self.draws:
+            out["coefficients"] = self.coefficients()
+        return out
+
+    def predict(self, horizon, seed=0, future_z=None,
+                future_predictors=None, max_draws=200):
+        """Posterior-predictive forecasts [draws, horizon] by simulating
+        forward from a thinned set of posterior draws (reference
+        predict.bsts / BstsPrediction)."""
+        flat = self._result.stacked()
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
+        keys = jax.random.split(jax.random.key(seed), take)
+
+        from boom_tpu.statespace.families import NonGaussianBsts
+
+        kwargs = {}
+        if future_z is not None:
+            kwargs["future_z"] = future_z
+        is_glm = isinstance(self._model, NonGaussianBsts)
+        if is_glm and future_predictors is not None:
+            kwargs["future_predictors"] = jnp.asarray(future_predictors)
+        if (not is_glm) and future_predictors is not None:
+            # Gaussian: regression enters additively on the y scale
+            def one(k, st):
+                extra = jnp.asarray(future_predictors) @ st["beta"]
+                return self._model.predict(k, st, horizon, **kwargs) + extra
+        else:
+            def one(k, st):
+                return self._model.predict(k, st, horizon, **kwargs)
+
+        return jax.jit(jax.vmap(one))(keys, sub)

@@ -110,9 +110,8 @@ def test_advi_gaussian_target(rng_key):
     res = jax.jit(lambda k: advi(k, logp, jnp.zeros(2),
                                  num_steps=3000))(rng_key)
     # tolerance scales with the target sd (SGD noise on the wide coord)
-    np.testing.assert_allclose(np.asarray(res.mean()),
-                               np.asarray(target_mean),
-                               atol=np.asarray(0.15 * target_sd) + 0.05)
+    err = np.abs(np.asarray(res.mean()) - np.asarray(target_mean))
+    assert np.all(err < 0.15 * np.asarray(target_sd) + 0.05), err
     np.testing.assert_allclose(np.asarray(res.sd()),
                                np.asarray(target_sd), rtol=0.2)
     # ELBO increased

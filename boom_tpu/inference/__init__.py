@@ -5,7 +5,15 @@ with pure functions: state pytrees, (key, state) -> state kernels, and a
 vmapped+scanned driver.
 """
 
-from boom_tpu.inference import diagnostics, kernels
+from boom_tpu.inference import (
+    accounting,
+    checkpoint,
+    diagnostics,
+    kernels,
+    smc,
+    transforms,
+    vi,
+)
 from boom_tpu.inference.diagnostics import (
     effective_sample_size,
     ess,
@@ -17,7 +25,8 @@ from boom_tpu.inference.driver import McmcResult, run_chain, run_mcmc
 from boom_tpu.inference.state import Kernel, compose, on_site, repeat
 
 __all__ = [
-    "diagnostics", "kernels",
+    "diagnostics", "kernels", "smc", "transforms", "vi",
+    "accounting", "checkpoint",
     "rhat", "ess", "potential_scale_reduction", "effective_sample_size",
     "summary",
     "run_mcmc", "run_chain", "McmcResult",

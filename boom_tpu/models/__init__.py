@@ -1,9 +1,56 @@
 """Model zoo (reference Models/ layer, SURVEY.md §2.6)."""
 
 from boom_tpu.models import conjugate, glm
+from boom_tpu.models.bandits import BinomialBandit, LogitBandit
+from boom_tpu.models.bart import BartConfig, GaussianBart
 from boom_tpu.models.beta_binomial import BetaBinomialModel
+from boom_tpu.models.dirichlet_process import (
+    DpGaussianMixture,
+    DpMvnMixture,
+)
+from boom_tpu.models.factor import (
+    MultinomialFactorModel,
+    PoissonFactorModel,
+)
+from boom_tpu.models.gp import GpRegression
+from boom_tpu.models.graphical import DiscreteBayesNet, Node
+from boom_tpu.models.hierarchical import (
+    HierarchicalGamma,
+    HierarchicalGaussian,
+    HierarchicalPoisson,
+)
 from boom_tpu.models.hmm import GaussianHmm
+from boom_tpu.models.impute import GaussianCopulaImputer
+from boom_tpu.models.irt import PartialCredit, TwoPl
+from boom_tpu.models.markov import MarkovModel
 from boom_tpu.models.mixtures import GaussianMixtureModel
+from boom_tpu.models.nnet import FeedForwardRegression
+from boom_tpu.models.point_process import (
+    HomogeneousPoissonProcess,
+    MarkovModulatedPoissonProcess,
+    WeeklyCyclePoissonProcess,
+)
+from boom_tpu.models.timeseries import ArmaModel, ArModel, NonzeroMeanAr1
+from boom_tpu.models.zero_inflated import (
+    ZeroInflatedGamma,
+    ZeroInflatedLognormal,
+    ZeroInflatedPoisson,
+)
 
-__all__ = ["conjugate", "glm", "BetaBinomialModel", "GaussianHmm",
-           "GaussianMixtureModel"]
+__all__ = [
+    "conjugate", "glm",
+    "BetaBinomialModel", "GaussianHmm", "GaussianMixtureModel",
+    "DpGaussianMixture", "DpMvnMixture",
+    "MarkovModel", "ZeroInflatedPoisson", "ZeroInflatedLognormal",
+    "ZeroInflatedGamma",
+    "BinomialBandit", "LogitBandit",
+    "HierarchicalGaussian", "HierarchicalPoisson", "HierarchicalGamma",
+    "GpRegression", "GaussianBart", "BartConfig",
+    "PoissonFactorModel", "MultinomialFactorModel",
+    "TwoPl", "PartialCredit",
+    "HomogeneousPoissonProcess", "WeeklyCyclePoissonProcess",
+    "MarkovModulatedPoissonProcess",
+    "DiscreteBayesNet", "Node",
+    "FeedForwardRegression", "GaussianCopulaImputer",
+    "ArModel", "ArmaModel", "NonzeroMeanAr1",
+]

@@ -48,7 +48,10 @@ def bench_bsts_llt():
     from boom_tpu.inference import effective_sample_size, run_mcmc
     from boom_tpu.statespace import Bsts, LocalLinearTrend
 
-    t_len, chains, draws, burn = 500, 1024, 150, 50
+    # 8192 chains saturates the chip before the ~12k occupancy cliff;
+    # 16 interweaving passes cost ~+10% wall and ~3x the ESS of the slow
+    # slope-variance component (see Bsts.asis_passes)
+    t_len, chains, draws, burn = 500, 8192, 150, 30
     key = jax.random.key(4207)
     k1, k2, k_run = jax.random.split(key, 3)
     level = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,))) + 5.0

@@ -6,7 +6,14 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _jax_shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _jax_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from boom_tpu.inference.driver import McmcResult, run_chain

@@ -186,3 +186,61 @@ class GaussianHmm:
         y = (jnp.asarray(means)[z]
              + jnp.asarray(sds)[z] * jax.random.normal(ky, (t_len,)))
         return y, z
+
+
+@dataclasses.dataclass(frozen=True)
+class CategoricalHmm:
+    """HMM with categorical emissions (reference HMM2.hpp with
+    multinomial mixture components): FFBS Gibbs with conjugate Dirichlet
+    draws for both the transition matrix and the emission rows.
+
+    State: trans [S, S], emit [S, V], init [S]."""
+
+    y: jax.Array  # [T] ints in [0, V)
+    num_states: int
+    num_symbols: int
+    trans_prior: float = 1.0
+    emit_prior: float = 1.0
+
+    def init_state(self, key):
+        s, v = self.num_states, self.num_symbols
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "trans": dists.dirichlet.sample(
+                k1, jnp.full((s, s), 1.0) + 3.0 * jnp.eye(s)),
+            "emit": dists.dirichlet.sample(k2, jnp.full((s, v), 1.0)),
+            "init": dists.dirichlet.sample(k3, jnp.full((s,), 1.0)),
+        }
+
+    def kernel(self):
+        s, v = self.num_states, self.num_symbols
+        onehot_y = jax.nn.one_hot(self.y, v)
+
+        def sweep(key, state):
+            kz, kt, ke, ki = jax.random.split(key, 4)
+            log_emit = jnp.log(jnp.clip(state["emit"], 1e-300, None))
+            log_lik = onehot_y @ log_emit.T  # [T, S]
+            log_trans = jnp.log(jnp.clip(state["trans"], 1e-300, None))
+            log_init = jnp.log(jnp.clip(state["init"], 1e-300, None))
+            log_alpha, _ = forward_filter(log_lik, log_trans, log_init)
+            z = backward_sample(kz, log_alpha, log_trans)
+            zoh = jax.nn.one_hot(z, s)
+            trans = dists.dirichlet.sample(
+                kt, self.trans_prior + zoh[:-1].T @ zoh[1:])
+            emit = dists.dirichlet.sample(
+                ke, self.emit_prior + zoh.T @ onehot_y)
+            init = dists.dirichlet.sample(ki, 1.0 + zoh[0])
+            return {"trans": trans, "emit": emit, "init": init}
+
+        return sweep
+
+    @staticmethod
+    def simulate(key, t_len, trans, emit, init):
+        from boom_tpu.models.markov import MarkovModel
+
+        k1, k2 = jax.random.split(key)
+        z = MarkovModel.simulate(k1, t_len, jnp.asarray(trans),
+                                 jnp.asarray(init))
+        logits = jnp.log(jnp.clip(jnp.asarray(emit)[z], 1e-300, None))
+        y = jax.random.categorical(k2, logits, axis=-1)
+        return y, z

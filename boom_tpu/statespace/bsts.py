@@ -445,3 +445,52 @@ def asis_redraw(key, blocks, params, state, y_adj, h, slice_steps=8):
     out["alpha"] = alpha
     out["blocks"] = new_blocks
     return out
+
+
+def one_step_prediction_errors(model, states, cutpoint: int | None = None):
+    """Standardized one-step-ahead prediction errors v_t / sqrt(F_t) for
+    a batch of posterior draws (reference bsts.cc:197
+    one-step-prediction-errors path with HoldoutErrorSampler,
+    model_manager.h:38). With a cutpoint c, observations after c are
+    treated as a holdout: the filter sees only y_{1:c} (missing mask) so
+    errors after c are true out-of-sample one-step errors.
+
+    states: pytree with leading draw axis (e.g. McmcResult.stacked()).
+    Returns [draws, T]."""
+    t_len = model.y.shape[0]
+    observed = jnp.ones((t_len,), bool)
+    if cutpoint is not None:
+        observed = jnp.arange(t_len) < cutpoint
+
+    def one(state):
+        y_adj = model.y
+        if model.predictors is not None:
+            y_adj = model.y - model.predictors @ state["beta"]
+        filt = kalman_filter(model.ssm_params(state), y_adj, observed)
+        # after the cutpoint the filter state stays frozen, so v_t are
+        # cumulative-forecast errors; recompute v on all points
+        zs = model.ssm_params(state).zs(t_len)
+        v = y_adj - jnp.einsum("td,td->t", zs, filt.a)
+        return v / jnp.sqrt(filt.f)
+
+    return jax.jit(jax.vmap(one))(states)
+
+
+def compare_bsts_models(models_and_results, cutpoint=None, max_draws=50):
+    """Cumulative absolute one-step prediction errors per model — the
+    data behind R's CompareBstsModels plot (bsts/R/compare.bsts.models.R).
+    models_and_results: {name: (model, McmcResult)}. Returns
+    {name: [T] cumulative |error|}."""
+    out = {}
+    for name, (model, result) in models_and_results.items():
+        flat = result.stacked()
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
+        errs = one_step_prediction_errors(model, sub, cutpoint)
+        params0 = model.ssm_params(
+            jax.tree_util.tree_map(lambda a: a[0], sub))
+        # unstandardized absolute errors averaged over draws
+        out[name] = jnp.cumsum(jnp.mean(jnp.abs(errs), 0))
+    return out

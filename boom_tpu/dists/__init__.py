@@ -43,6 +43,7 @@ from boom_tpu.dists.multivariate import (
     dirichlet,
     inverse_wishart,
     lmultigamma,
+    lkj,
     matrix_normal,
     mvn,
     mvt,
@@ -68,7 +69,7 @@ __all__ = [
     "multinomial",
     # multivariate
     "mvn", "mvt", "dirichlet", "wishart", "inverse_wishart",
-    "matrix_normal", "lmultigamma",
+    "matrix_normal", "lmultigamma", "lkj",
     # truncated
     "trun_normal", "trun_exponential", "trun_gamma", "trun_logistic",
 ]

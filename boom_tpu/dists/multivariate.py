@@ -281,3 +281,45 @@ class matrix_normal:
         fs = mean.shape if shape is None else tuple(shape) + mean.shape
         z = jax.random.normal(key, fs, mean.dtype)
         return mean + jnp.einsum("...ij,...jk,...lk->...il", lu, z, lv)
+
+
+class lkj:
+    """LKJ distribution over correlation matrices.
+
+    The reference's UniformCorrelationModel / MarginallyUniformCorrelation
+    (Models/UniformCorrelationModel.hpp): LKJ(eta=1) IS the uniform
+    distribution over correlation matrices, and larger eta concentrates
+    toward identity (the marginally-uniform prior corresponds to a
+    specific eta per dimension). Sampling by the onion method (Lewandowski,
+    Kurowicka, Joe 2009) with fixed-shape loops."""
+
+    @staticmethod
+    def logpdf(corr, eta, d=None):
+        d = corr.shape[-1]
+        chol = jnp.linalg.cholesky(corr)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), -1)
+        # unnormalized: det(C)^(eta-1)
+        return (eta - 1.0) * logdet
+
+    @staticmethod
+    def sample(key, eta, d, shape=None):
+        """Onion method: build the Cholesky factor row by row."""
+        shape = tuple(shape or ())
+        beta0 = eta + 0.5 * (d - 2)
+        k_r, k_u = jax.random.split(key)
+        # partial correlations via beta draws, mapped to (-1, 1)
+        chol = jnp.zeros(shape + (d, d)).at[..., 0, 0].set(1.0)
+        for i in range(1, d):
+            k_r, k1, k2 = jax.random.split(k_r, 3)
+            bshape = shape
+            b = eta + 0.5 * (d - 1 - i)
+            y = jax.random.beta(k1, i / 2.0, b, bshape)
+            r = jnp.sqrt(y)
+            u = jax.random.normal(k2, bshape + (i,))
+            u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+            w = r[..., None] * u
+            chol = chol.at[..., i, :i].set(w)
+            chol = chol.at[..., i, i].set(
+                jnp.sqrt(jnp.clip(1.0 - y, 1e-12, None)))
+        return chol @ jnp.swapaxes(chol, -1, -2)

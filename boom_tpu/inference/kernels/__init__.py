@@ -2,6 +2,7 @@
 the HMC/MALA additions."""
 
 from boom_tpu.inference.kernels.nuts import nuts_kernel, nuts_step
+from boom_tpu.inference.kernels.tim import tim_kernel, tim_step, build_tim_proposal
 from boom_tpu.inference.kernels.hmc import (
     HmcState,
     dual_averaging_update,
@@ -28,6 +29,7 @@ from boom_tpu.inference.kernels.slice import (
 )
 
 __all__ = [
+    "tim_kernel", "tim_step", "build_tim_proposal",
     "nuts_kernel", "nuts_step",
     "HmcState", "hmc_init", "hmc_step", "hmc_kernel", "leapfrog",
     "dual_averaging_update", "welford_update", "finalize_adaptation",

@@ -109,3 +109,76 @@ def relabel_sorted(draws_mu, *other_draws):
     order = jnp.argsort(draws_mu, axis=-1)
     take = lambda a: jnp.take_along_axis(a, order, axis=-1)  # noqa: E731
     return (take(draws_mu),) + tuple(take(o) for o in other_draws)
+
+
+@dataclasses.dataclass(frozen=True)
+class BetaBinomialMixture:
+    """Finite mixture of beta-binomials (reference
+    Models/Mixtures/BetaBinomialMixture.hpp): data are (trials, successes)
+    pairs; component k has Beta(a_k, b_k) success probabilities.
+
+    Gibbs: indicators from the exact beta-binomial marginals, then
+    slice updates of each component's (log mean-odds, log concentration),
+    then Dirichlet weights. State: log_odds [K], log_conc [K],
+    weights [K]."""
+
+    trials: jax.Array  # [n]
+    successes: jax.Array  # [n]
+    num_components: int
+    weight_prior: float = 1.0
+    prior_rate: float = 0.01  # weak exponential priors on odd/conc scale
+
+    def _ab(self, log_odds, log_conc):
+        conc = jnp.exp(log_conc)
+        mean = jax.nn.sigmoid(log_odds)
+        return mean * conc, (1.0 - mean) * conc
+
+    def _loglik_matrix(self, log_odds, log_conc):
+        a, b = self._ab(log_odds, log_conc)  # [K]
+        return dists.beta_binomial.logpmf(
+            self.successes[:, None], self.trials[:, None],
+            a[None, :], b[None, :])
+
+    def init_state(self, key):
+        k = self.num_components
+        rate = (self.successes + 0.5) / (self.trials + 1.0)
+        qs = jnp.quantile(rate, jnp.linspace(0.2, 0.8, k))
+        qs = jnp.clip(qs, 0.02, 0.98)
+        return {"log_odds": jnp.log(qs / (1.0 - qs)),
+                "log_conc": jnp.full((k,), jnp.log(10.0)),
+                "weights": jnp.full((k,), 1.0 / k)}
+
+    def kernel(self):
+        from boom_tpu.inference.kernels.slice import slice_step
+
+        k = self.num_components
+
+        def sweep(key, state):
+            kz, ko, kc, kw = jax.random.split(key, 4)
+            logits = (self._loglik_matrix(state["log_odds"],
+                                          state["log_conc"])
+                      + jnp.log(state["weights"])[None, :])
+            z = jax.random.categorical(kz, logits, axis=-1)
+            onehot = jax.nn.one_hot(z, k)  # [n, K]
+
+            def comp_loglik(log_odds, log_conc):
+                ll = self._loglik_matrix(log_odds, log_conc)
+                return jnp.sum(onehot * ll, axis=0)  # [K]
+
+            log_odds = slice_step(
+                ko, state["log_odds"],
+                lambda v: (comp_loglik(v, state["log_conc"])
+                           - self.prior_rate * jnp.abs(v)),
+                width=1.0)
+            log_conc = slice_step(
+                kc, state["log_conc"],
+                lambda v: (comp_loglik(log_odds, v)
+                           - self.prior_rate * jnp.exp(
+                               jnp.clip(v, None, 20.0))),
+                width=1.0, lower=-3.0, upper=12.0)
+            weights = dists.dirichlet.sample(
+                kw, self.weight_prior + onehot.sum(0))
+            return {"log_odds": log_odds, "log_conc": log_conc,
+                    "weights": weights}
+
+        return sweep

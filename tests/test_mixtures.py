@@ -42,3 +42,39 @@ def test_mixture_loglik_increases_from_random(rng_key):
     final = jax.tree_util.tree_map(lambda a: a[0, -1], res.draws)
     ll1 = float(model.log_lik(final))
     assert ll1 > ll0
+
+
+def test_beta_binomial_mixture_recovers(rng_key):
+    from boom_tpu.models.mixtures import BetaBinomialMixture
+    from boom_tpu import dists
+    import numpy as np
+
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    n = 600
+    trials = jnp.full((n,), 50)
+    z = jax.random.bernoulli(k1, 0.5, (n,)).astype(jnp.int32)
+    probs = jnp.where(z == 0,
+                      dists.beta.sample(k2, 20.0, 80.0, shape=(n,)),
+                      dists.beta.sample(k3, 60.0, 20.0, shape=(n,)))
+    successes = jax.random.binomial(jax.random.key(4), trials, probs)
+    model = BetaBinomialMixture(trials=trials, successes=successes,
+                                num_components=2)
+    kernel = model.kernel()
+
+    @jax.jit
+    def run(key):
+        st = model.init_state(key)
+
+        def step(s, k):
+            s = kernel(k, s)
+            return s, s
+
+        return jax.lax.scan(step, st,
+                            jax.random.split(jax.random.key(5), 400))
+
+    _, draws = run(jax.random.key(6))
+    means = np.sort(np.asarray(
+        jax.nn.sigmoid(jnp.mean(draws["log_odds"][200:], 0))))
+    np.testing.assert_allclose(means, [0.2, 0.75], atol=0.05)
+    w = np.asarray(jnp.mean(draws["weights"][200:], 0))
+    np.testing.assert_allclose(np.sort(w), [0.5, 0.5], atol=0.08)

@@ -182,3 +182,69 @@ class BetaBinomialMixture:
                     "weights": weights}
 
         return sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class RegressionMixture:
+    """Conditional finite mixture: mixture of K linear regressions
+    (reference Models/Mixtures/ConditionalFiniteMixtureModel.hpp):
+    y_i | z_i = k ~ N(x_i' beta_k, sigsq_k), z ~ Categorical(weights).
+
+    Gibbs: indicators from per-component Gaussian likelihoods, then one
+    BATCHED conjugate regression draw over components (weighted one-hot
+    sufstats as matmuls), then Dirichlet weights."""
+
+    x: jax.Array  # [n, p]
+    y: jax.Array  # [n]
+    num_components: int
+    weight_prior: float = 1.0
+    beta_prior_nobs: float = 0.1
+    sigma_df: float = 1.0
+    sigma_guess: float = 1.0
+
+    def init_state(self, key):
+        k = self.num_components
+        p = self.x.shape[1]
+        kb, kw = jax.random.split(key)
+        beta = 0.5 * jax.random.normal(kb, (k, p))
+        return {"beta": beta,
+                "sigsq": jnp.full((k,), jnp.var(self.y)),
+                "weights": jnp.full((k,), 1.0 / k)}
+
+    def kernel(self):
+        k = self.num_components
+        p = self.x.shape[1]
+        prior_prec = self.beta_prior_nobs * (
+            self.x.T @ self.x) / self.x.shape[0]
+
+        def sweep(key, state):
+            kz, kb, ks, kw = jax.random.split(key, 4)
+            eta = self.x @ state["beta"].T  # [n, K]
+            logp = dists.normal.logpdf(
+                self.y[:, None], eta, jnp.sqrt(state["sigsq"])[None, :])
+            logits = logp + jnp.log(state["weights"])[None, :]
+            z = jax.random.categorical(kz, logits, axis=-1)
+            onehot = jax.nn.one_hot(z, k, dtype=self.y.dtype)  # [n, K]
+
+            # batched per-component weighted sufstats (one-hot masks)
+            xtx_k = jnp.einsum("nk,np,nq->kpq", onehot, self.x, self.x)
+            xty_k = jnp.einsum("nk,np,n->kp", onehot, self.x, self.y)
+            counts = onehot.sum(0)
+
+            def draw_comp(kk, xtx, xty, sigsq):
+                prec = prior_prec + xtx / sigsq
+                return dists.mvn.sample_suf(kk, xty / sigsq, prec)
+
+            beta = jax.vmap(draw_comp)(
+                jax.random.split(kb, k), xtx_k, xty_k, state["sigsq"])
+            # per-component residual SS via one-hot masking
+            resid_all = self.y[:, None] - self.x @ beta.T  # [n, K]
+            resid_sq = jnp.sum(onehot * resid_all**2, axis=0)
+            df = self.sigma_df + counts
+            ss = self.sigma_df * self.sigma_guess**2 + resid_sq
+            sigsq = dists.scaled_inv_chisq.sample(ks, df, ss / df)
+            weights = dists.dirichlet.sample(
+                kw, self.weight_prior + counts)
+            return {"beta": beta, "sigsq": sigsq, "weights": weights}
+
+        return sweep

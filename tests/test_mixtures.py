@@ -78,3 +78,38 @@ def test_beta_binomial_mixture_recovers(rng_key):
     np.testing.assert_allclose(means, [0.2, 0.75], atol=0.05)
     w = np.asarray(jnp.mean(draws["weights"][200:], 0))
     np.testing.assert_allclose(np.sort(w), [0.5, 0.5], atol=0.08)
+
+
+def test_regression_mixture_recovers(rng_key):
+    from boom_tpu.models.mixtures import RegressionMixture
+    import numpy as np
+
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    n = 800
+    x = jnp.stack([jnp.ones(n), jax.random.normal(k1, (n,))], 1)
+    z = jax.random.bernoulli(k2, 0.5, (n,))
+    beta0 = jnp.asarray([2.0, 1.0])
+    beta1 = jnp.asarray([-2.0, -1.0])
+    mean = jnp.where(z, x @ beta1, x @ beta0)
+    y = mean + 0.4 * jax.random.normal(k3, (n,))
+    model = RegressionMixture(x=x, y=y, num_components=2)
+    kernel = model.kernel()
+
+    @jax.jit
+    def run(key):
+        st = model.init_state(key)
+
+        def step(s, k):
+            s = kernel(k, s)
+            return s, s
+
+        return jax.lax.scan(step, st,
+                            jax.random.split(jax.random.key(1), 400))
+
+    _, draws = run(jax.random.key(2))
+    beta_mean = np.asarray(jnp.mean(draws["beta"][200:], 0))  # [K, p]
+    order = np.argsort(beta_mean[:, 0])
+    np.testing.assert_allclose(beta_mean[order],
+                               [[-2.0, -1.0], [2.0, 1.0]], atol=0.15)
+    sig = np.asarray(jnp.mean(jnp.sqrt(draws["sigsq"][200:]), 0))
+    np.testing.assert_allclose(sig, 0.4, atol=0.1)

@@ -27,6 +27,14 @@ from boom_tpu.models.glm.ssvs import (
     kv_log_model_prob,
     sample_mixture_indicator,
 )
+from boom_tpu.models.glm.adaptive import (
+    AdaptiveSpikeSlabRegression,
+    BigAssSpikeSlab,
+    screen_candidates,
+)
+from boom_tpu.models.glm.mvreg import MultivariateRegression, MvRegSuf
+from boom_tpu.models.glm.ordinal import OrdinalLogitSpikeSlab
+from boom_tpu.models.glm.quantile import QuantileSpikeSlab
 from boom_tpu.models.glm.student import StudentSpikeSlab
 
 __all__ = [
@@ -38,6 +46,9 @@ __all__ = [
     "ProbitSpikeSlab", "impute_probit_latent",
     "LogitSpikeSlab", "impute_logit_latent",
     "PoissonSpikeSlab", "impute_poisson_latent",
-    "StudentSpikeSlab",
+    "StudentSpikeSlab", "QuantileSpikeSlab", "OrdinalLogitSpikeSlab",
+    "MultivariateRegression", "MvRegSuf",
+    "AdaptiveSpikeSlabRegression", "BigAssSpikeSlab",
+    "screen_candidates",
     "MultinomialLogitSpikeSlab", "impute_mnl_utilities",
 ]

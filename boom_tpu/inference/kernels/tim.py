@@ -62,19 +62,22 @@ def tim_step(key, x_flat, log_target_flat, prop: TimProposal):
 
 
 def tim_kernel(name: str, log_target: Callable[[Any, Any], jax.Array],
-               example_value, df: float = 3.0):
+               example_value, df: float = 3.0, example_state=None):
     """Kernel updating state[name] by TIM. The mode/proposal are located
-    ONCE at kernel-construction time against the example state value
+    ONCE, eagerly, at kernel-construction time against `example_state`
     (the reference re-runs mode finding per draw only when asked; the
-    frozen-proposal form is its common usage)."""
-    prop_holder = {}
+    frozen-proposal form is its common usage). Eager construction keeps
+    the Newton mode search out of any jitted scan body and guarantees the
+    cached proposal is a concrete array, never a leaked tracer."""
+    if example_state is None:
+        example_state = {name: example_value}
+    prop, unravel = build_tim_proposal(
+        lambda v: log_target(v, example_state), example_value, df)
+    # Materialize as host-side constants so the kernel closes over
+    # concrete values even if built inside a transformed context.
+    prop = jax.tree.map(jax.device_get, prop)
 
     def kernel(key, state):
-        if "prop" not in prop_holder:
-            prop, unravel = build_tim_proposal(
-                lambda v: log_target(v, state), example_value, df)
-            prop_holder["prop"] = (prop, unravel)
-        prop, unravel = prop_holder["prop"]
         flat, _ = ravel_pytree(state[name])
 
         def lt_flat(z):

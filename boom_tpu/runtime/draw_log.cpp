@@ -54,7 +54,9 @@ struct Writer {
   std::condition_variable not_empty;
   std::thread thread;
   std::atomic<bool> stop{false};
-  std::atomic<long long> records_written{0};
+  std::atomic<long long> records_written{0};   // fwritten by the drainer
+  std::atomic<long long> records_appended{0};  // enqueued by producers
+  std::condition_variable drained;             // signaled after each fwrite
 
   void Run() {
     std::vector<char> chunk;
@@ -76,7 +78,13 @@ struct Writer {
       not_full.notify_all();
       if (n > 0) {
         fwrite(chunk.data(), record_bytes, n, file);
-        records_written.fetch_add(static_cast<long long>(n));
+        {
+          // Increment under mu so dlog_flush's predicate check can't
+          // interleave with the increment (lost-wakeup prevention).
+          std::lock_guard<std::mutex> lock(mu);
+          records_written.fetch_add(static_cast<long long>(n));
+        }
+        drained.notify_all();
       }
     }
     fflush(file);
@@ -130,6 +138,7 @@ int dlog_append(void* handle, const void* data, uint64_t n_records) {
            n * w->record_bytes);
     w->head = (w->head + n) % w->capacity_records;
     w->count += n;
+    w->records_appended.fetch_add(static_cast<long long>(n));
     src += n * w->record_bytes;
     remaining -= n;
     lock.unlock();
@@ -142,12 +151,14 @@ int dlog_append(void* handle, const void* data, uint64_t n_records) {
 int dlog_flush(void* handle) {
   auto* w = static_cast<Writer*>(handle);
   if (!w) return -1;
-  for (;;) {
-    {
-      std::unique_lock<std::mutex> lock(w->mu);
-      if (w->count == 0) break;
-    }
-    std::this_thread::yield();
+  // Wait until every record appended so far has actually been fwritten.
+  // (Checking count == 0 is not enough: Run() decrements count before the
+  // fwrite of the drained chunk, so an empty ring can still have records
+  // in flight.)
+  const long long target = w->records_appended.load();
+  {
+    std::unique_lock<std::mutex> lock(w->mu);
+    w->drained.wait(lock, [&] { return w->records_written.load() >= target; });
   }
   fflush(w->file);
   return 0;

@@ -3,7 +3,13 @@
 Reference: Models/StateSpace (SURVEY.md §2.6) + Interfaces/R/bsts.
 """
 
-from boom_tpu.statespace.bsts import Bsts, asis_redraw
+from boom_tpu.statespace.bsts import (
+    Bsts,
+    asis_redraw,
+    compare_bsts_models,
+    holdout_prediction_errors,
+    one_step_prediction_errors,
+)
 from boom_tpu.statespace.families import NonGaussianBsts
 from boom_tpu.statespace.multivariate import (
     MultivariateBsts,
@@ -36,7 +42,8 @@ from boom_tpu.statespace.state_models import (
 )
 
 __all__ = [
-    "Bsts", "NonGaussianBsts", "asis_redraw",
+    "Bsts", "NonGaussianBsts", "asis_redraw", "compare_bsts_models",
+    "holdout_prediction_errors", "one_step_prediction_errors",
     "MultivariateBsts", "MvSsmParams", "mv_kalman_filter",
     "mv_fast_state_smoother", "mv_simulation_smoother",
     "SsmParams", "FilterResult", "kalman_filter", "fast_state_smoother",

@@ -109,7 +109,8 @@ class Bsts:
 
     @property
     def _time_varying_z(self):
-        return any(hasattr(b, "z_seq") for b in self.blocks)
+        return any(hasattr(b, "z_seq") or hasattr(b, "z_seq_params")
+                   for b in self.blocks)
 
     @property
     def _time_varying_q(self):
@@ -121,8 +122,15 @@ class Bsts:
         for b in self.blocks:
             t_mat, r_mat, q_mat = b.build(state["blocks"][b.name])
             if self._time_varying_z:
-                z_b = (b.z_seq(t_len) if hasattr(b, "z_seq")
-                       else jnp.broadcast_to(b.z(), (t_len, b.dim)))
+                if hasattr(b, "z_seq_params"):
+                    # param-dependent observation rows (the regression
+                    # holiday family packs its coefficients into Z_t,
+                    # reference RegressionHolidayStateModel.hpp:165)
+                    z_b = b.z_seq_params(state["blocks"][b.name], t_len)
+                elif hasattr(b, "z_seq"):
+                    z_b = b.z_seq(t_len)
+                else:
+                    z_b = jnp.broadcast_to(b.z(), (t_len, b.dim))
             else:
                 z_b = b.z()
             zs.append(z_b)
@@ -221,20 +229,35 @@ class Bsts:
                     k_obs, resid.shape[0], jnp.sum(resid * resid))
 
             # 2. state-model parameter draws | current state path
+            y_minus_reg = self.y
+            if has_reg:
+                y_minus_reg = self.y - self.predictors @ out["beta"]
             new_blocks = {}
             bkeys = jax.random.split(k_blocks, len(self.blocks))
             for (start, dim), b, bk in zip(self._slices(), self.blocks,
                                            bkeys):
                 path = jax.lax.dynamic_slice_in_dim(
                     state["alpha"], start, dim, axis=1)
-                new_blocks[b.name] = b.draw_params(
-                    bk, state["blocks"][b.name], path)
+                if getattr(b, "needs_residual", False):
+                    # regression-holiday-style blocks condition on the
+                    # observation residual with their own contribution
+                    # added back (reference
+                    # ScalarRegressionHolidayStateModel::observe_state,
+                    # RegressionHolidayStateModel.cpp:212-224)
+                    z_b = jax.lax.dynamic_slice_in_dim(
+                        zs_cur, start, dim, axis=1)
+                    contrib_b = jnp.einsum("td,td->t", z_b, path)
+                    resid_b = (y_minus_reg - state_contrib + contrib_b)
+                    new_blocks[b.name] = b.draw_params(
+                        bk, state["blocks"][b.name], path,
+                        resid=resid_b, h=out["sigsq_obs"])
+                else:
+                    new_blocks[b.name] = b.draw_params(
+                        bk, state["blocks"][b.name], path)
             out["blocks"] = new_blocks
 
             # 3. impute the state (Durbin-Koopman simulation smoother)
-            y_adj = self.y
-            if has_reg:
-                y_adj = self.y - self.predictors @ out["beta"]
+            y_adj = y_minus_reg
             params = self.ssm_params(out)
             # the associative-scan smoother assumes a static system
             use_parallel = self.parallel_smoother and not params.time_varying
@@ -447,50 +470,110 @@ def asis_redraw(key, blocks, params, state, y_adj, h, slice_steps=8):
     return out
 
 
-def one_step_prediction_errors(model, states, cutpoint: int | None = None):
+def one_step_prediction_errors(model, states):
     """Standardized one-step-ahead prediction errors v_t / sqrt(F_t) for
     a batch of posterior draws (reference bsts.cc:197
-    one-step-prediction-errors path with HoldoutErrorSampler,
-    model_manager.h:38). With a cutpoint c, observations after c are
-    treated as a holdout: the filter sees only y_{1:c} (missing mask) so
-    errors after c are true out-of-sample one-step errors.
+    one-step-prediction-errors path; StateSpaceModel.cpp
+    one_step_prediction_errors). The filter assimilates EVERY observation,
+    so each error is a genuine one-step error conditioned on y_{1:t-1} and
+    the draw's parameters. For out-of-sample holdout errors the parameter
+    draws must come from a fit to the training slice only — use
+    :func:`holdout_prediction_errors`, which refits and then filters
+    through the holdout (the reference's
+    simulate_holdout_prediction_errors semantics).
 
     states: pytree with leading draw axis (e.g. McmcResult.stacked()).
     Returns [draws, T]."""
-    t_len = model.y.shape[0]
-    observed = jnp.ones((t_len,), bool)
-    if cutpoint is not None:
-        observed = jnp.arange(t_len) < cutpoint
 
     def one(state):
         y_adj = model.y
         if model.predictors is not None:
             y_adj = model.y - model.predictors @ state["beta"]
-        filt = kalman_filter(model.ssm_params(state), y_adj, observed)
-        # after the cutpoint the filter state stays frozen, so v_t are
-        # cumulative-forecast errors; recompute v on all points
-        zs = model.ssm_params(state).zs(t_len)
-        v = y_adj - jnp.einsum("td,td->t", zs, filt.a)
-        return v / jnp.sqrt(filt.f)
+        filt = kalman_filter(model.ssm_params(state), y_adj)
+        return filt.v / jnp.sqrt(filt.f)
 
     return jax.jit(jax.vmap(one))(states)
 
 
-def compare_bsts_models(models_and_results, cutpoint=None, max_draws=50):
+def _training_slice(model, cutpoint: int):
+    """The same model restricted to y_{1:cutpoint} (reference
+    simulate_holdout_prediction_errors clears data and re-adds the
+    training points, StateSpaceModel.cpp:231-249)."""
+    repl = {"y": model.y[:cutpoint]}
+    if model.predictors is not None:
+        repl["predictors"] = model.predictors[:cutpoint]
+    return dataclasses.replace(model, **repl)
+
+
+def holdout_prediction_errors(model, key, cutpoint: int, num_draws: int = 100,
+                              *, num_chains: int = 2, burn: int = 100,
+                              max_draws: int = 50):
+    """True out-of-sample one-step errors past ``cutpoint``.
+
+    Reference semantics (StateSpaceModel.cpp:212
+    one_step_holdout_prediction_errors + :231
+    simulate_holdout_prediction_errors; driven per-cutpoint by the
+    HoldoutErrorSampler thread fan-out, bsts/src/model_manager.h:38 and
+    state_space_gaussian_model_manager.cc:202-211): the model is REFIT to
+    y_{1:cutpoint} so parameter draws are conditioned on training data
+    only, then for each draw one Kalman pass filters through the FULL
+    series, assimilating each holdout observation — so every post-cutpoint
+    error is a one-step error, not a cumulative forecast error. (The
+    reference seeds the holdout filter with the drawn final state; we use
+    the filtered distribution at the cutpoint, which additionally
+    integrates over state uncertainty.)
+
+    Returns standardized errors [draws, T]: columns < cutpoint are
+    in-sample one-step errors, columns >= cutpoint are holdout errors.
+    Note: blocks whose time-varying Z/q-scale sequences are tied to the
+    full-length series (e.g. DynamicRegression) are evaluated on their
+    first `cutpoint` entries for the training fit."""
+    from boom_tpu.inference.driver import run_mcmc
+
+    train = _training_slice(model, cutpoint)
+    res = run_mcmc(key, train.kernel(), train.init_state,
+                   num_draws=max(1, num_draws // num_chains),
+                   num_chains=num_chains, burn=burn)
+    flat = res.stacked()
+    total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+    take = min(max_draws, total)
+    idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+    states = jax.tree_util.tree_map(lambda a: a[idx], flat)
+
+    def one(state):
+        y_adj = model.y
+        if model.predictors is not None:
+            y_adj = model.y - model.predictors @ state["beta"]
+        filt = kalman_filter(model.ssm_params(state), y_adj)
+        return filt.v / jnp.sqrt(filt.f)
+
+    return jax.jit(jax.vmap(one))(states)
+
+
+def compare_bsts_models(models_and_results, cutpoint=None, max_draws=50,
+                        *, key=None, num_draws: int = 100, burn: int = 100):
     """Cumulative absolute one-step prediction errors per model — the
     data behind R's CompareBstsModels plot (bsts/R/compare.bsts.models.R).
-    models_and_results: {name: (model, McmcResult)}. Returns
-    {name: [T] cumulative |error|}."""
+
+    models_and_results: {name: (model, McmcResult)}. With cutpoint=None
+    the given results' (full-data) draws yield in-sample one-step errors —
+    R's default. With a cutpoint, each model is REFIT to y_{1:cutpoint}
+    (pass `key`) and errors past the cutpoint are genuine out-of-sample
+    one-step errors, matching the reference's holdout semantics.
+    Returns {name: [T] cumulative |standardized error|}."""
     out = {}
-    for name, (model, result) in models_and_results.items():
-        flat = result.stacked()
-        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
-        take = min(max_draws, total)
-        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
-        sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
-        errs = one_step_prediction_errors(model, sub, cutpoint)
-        params0 = model.ssm_params(
-            jax.tree_util.tree_map(lambda a: a[0], sub))
-        # unstandardized absolute errors averaged over draws
+    for i, (name, (model, result)) in enumerate(models_and_results.items()):
+        if cutpoint is None:
+            flat = result.stacked()
+            total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+            take = min(max_draws, total)
+            idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+            sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
+            errs = one_step_prediction_errors(model, sub)
+        else:
+            assert key is not None, "pass key= to refit at a cutpoint"
+            errs = holdout_prediction_errors(
+                model, jax.random.fold_in(key, i), cutpoint,
+                num_draws=num_draws, burn=burn, max_draws=max_draws)
         out[name] = jnp.cumsum(jnp.mean(jnp.abs(errs), 0))
     return out

@@ -254,9 +254,11 @@ class NonGaussianBsts:
         gauss = Bsts(y=self.y, blocks=self.blocks,
                      obs_prior=SdPrior(1.0))
         st = dict(final_state)
-        st.setdefault("sigsq_obs", jnp.zeros(()))
-        if self.family != "student":
-            st["sigsq_obs"] = jnp.zeros(())
+        # Zero the Gaussian observation noise for ALL families: the
+        # family-specific observation noise (Bernoulli draw, Poisson draw,
+        # or the explicit t noise below) is added afterwards, so letting
+        # Bsts.predict add N(0, sigsq_obs) too would double-count it.
+        st["sigsq_obs"] = jnp.zeros(())
         eta_state = gauss.predict(k_state, st, horizon, future_z=future_z)
         if self.predictors is not None:
             assert future_predictors is not None

@@ -72,3 +72,30 @@ def test_compare_bsts_models(rng_key):
         {"local_level": (m_ll, r_ll), "llt": (m_llt, r_llt)},
         max_draws=20)
     assert float(cum["local_level"][-1]) > float(cum["llt"][-1])
+
+
+def test_holdout_errors_are_one_step(rng_key):
+    """Reference semantics (StateSpaceModel.cpp:212): the holdout filter
+    ASSIMILATES each post-cutpoint observation, so for a well-specified
+    model the standardized holdout errors remain ~N(0,1) white noise and
+    do NOT grow with the forecast horizon. Under the old frozen-filter
+    (cumulative multi-step) semantics their scale grows like sqrt(h),
+    which this test rejects."""
+    from boom_tpu.statespace.bsts import holdout_prediction_errors
+
+    k1, k2 = jax.random.split(rng_key)
+    t_len, cut = 400, 300
+    lvl = jnp.cumsum(0.25 * jax.random.normal(k1, (t_len,)))
+    y = lvl + 0.6 * jax.random.normal(k2, (t_len,))
+    model = Bsts(y=y, blocks=[LocalLevel.default(y)])
+    errs = holdout_prediction_errors(
+        model, jax.random.key(3), cut, num_draws=80, num_chains=2,
+        burn=80, max_draws=20)
+    assert errs.shape == (20, t_len)
+    hold = np.asarray(errs[:, cut:])
+    assert abs(hold.mean()) < 0.25, hold.mean()
+    assert 0.75 < hold.std() < 1.35, hold.std()
+    # one-step semantics: error magnitude must not grow with horizon
+    early = np.abs(hold[:, :50]).mean()
+    late = np.abs(hold[:, 50:]).mean()
+    assert late < 1.5 * early, (early, late)

@@ -30,9 +30,13 @@ from boom_tpu.statespace.kalman import (
 from boom_tpu.statespace.state_models import (
     ArState,
     DynamicRegression,
+    DynamicRegressionAr,
+    GeneralSeasonalLLT,
+    HierarchicalRegressionHoliday,
     LocalLevel,
     LocalLinearTrend,
     RandomWalkHoliday,
+    RegressionHoliday,
     SdPrior,
     Seasonal,
     SemilocalLinearTrend,
@@ -51,4 +55,6 @@ __all__ = [
     "SdPrior", "LocalLevel", "LocalLinearTrend", "Seasonal", "Trig",
     "ArState", "StaticIntercept", "SemilocalLinearTrend",
     "DynamicRegression", "RandomWalkHoliday", "StudentLocalLinearTrend",
+    "RegressionHoliday", "HierarchicalRegressionHoliday",
+    "GeneralSeasonalLLT", "DynamicRegressionAr",
 ]

@@ -292,7 +292,10 @@ class Bsts:
         t_len = state["alpha"].shape[0]
         for (start, dim), b in zip(self._slices(), self.blocks):
             path = state["alpha"][:, start:start + dim]
-            if hasattr(b, "z_seq"):
+            if hasattr(b, "z_seq_params"):
+                z_b = b.z_seq_params(state["blocks"][b.name], t_len)
+                out[b.name] = jnp.einsum("td,td->t", z_b, path)
+            elif hasattr(b, "z_seq"):
                 out[b.name] = jnp.einsum("td,td->t", b.z_seq(t_len), path)
             else:
                 out[b.name] = path @ b.z()
@@ -326,11 +329,15 @@ class Bsts:
         for b in self.blocks:
             if b.name in future_z:
                 z_rows.append(jnp.asarray(future_z[b.name]))
-            elif hasattr(b, "z_seq"):
+            elif hasattr(b, "z_seq") or hasattr(b, "z_seq_params"):
+                hint = (" (holiday blocks: use "
+                        "block.future_z_rows(params, which_holiday, "
+                        "which_day))"
+                        if hasattr(b, "future_z_rows") else "")
                 raise ValueError(
                     f"block {b.name!r} has time-varying Z; pass "
                     f"future_z[{b.name!r}] with shape "
-                    f"[{horizon}, {b.dim}]")
+                    f"[{horizon}, {b.dim}]{hint}")
             else:
                 z_rows.append(jnp.broadcast_to(b.z(), (horizon, b.dim)))
         z_fut = jnp.concatenate(z_rows, axis=-1)

@@ -228,8 +228,22 @@ class NonGaussianBsts:
                                            bkeys):
                 path = jax.lax.dynamic_slice_in_dim(
                     state["alpha"], start, dim, axis=1)
-                new_blocks[b.name] = b.draw_params(
-                    bk, state["blocks"][b.name], path)
+                if getattr(b, "needs_residual", False):
+                    # residual on the latent-Gaussian scale with this
+                    # block's own contribution added back; h is the
+                    # per-timestep imputed variance
+                    z_b = jax.lax.dynamic_slice_in_dim(
+                        zs_cur, start, dim, axis=1)
+                    contrib_b = jnp.einsum("td,td->t", z_b, path)
+                    resid_b = (pseudo_y
+                               - (reg_contrib if has_reg else 0.0)
+                               - state_contrib + contrib_b)
+                    new_blocks[b.name] = b.draw_params(
+                        bk, state["blocks"][b.name], path,
+                        resid=resid_b, h=h)
+                else:
+                    new_blocks[b.name] = b.draw_params(
+                        bk, state["blocks"][b.name], path)
             out["blocks"] = new_blocks
 
             # 4. impute state on the latent Gaussian series

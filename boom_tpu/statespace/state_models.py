@@ -792,3 +792,434 @@ class StudentLocalLinearTrend:
 
     def asis_groups(self):
         return []
+
+
+# ---------------------------------------------------------------------------
+# Regression holiday — reference RegressionHolidayStateModel.hpp:176 +
+# RegressionHolidayBaseImpl; bsts add.regression.holiday
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class RegressionHoliday:
+    """Holiday effects as a regression on day-of-window dummies.
+
+    The state is trivial (deterministically 1); each holiday's per-day
+    effects are PARAMETERS packed into the observation row Z_t =
+    pattern[which_holiday(t), which_day(t)] (reference
+    RegressionHolidayBaseImpl: "all regression information packed into
+    the observation matrix"). Because window dummies never co-occur,
+    each daily effect has an independent Gaussian conjugate draw from
+    the observation residuals (RegressionHolidayStateModel.cpp:161-182),
+    which is why this block sets `needs_residual`: the composite sweep
+    hands it `resid` (y minus all other contributions) and `h` (the
+    observation variance, scalar or [T]).
+
+    which_holiday/which_day: [T] int arrays from
+    boom_tpu.utils.holiday_window_arrays (−1 where inactive).
+    prior: Gaussian prior N(prior_mean, prior_sd^2) on each daily effect.
+    """
+
+    which_holiday: jax.Array  # [T] int, -1 inactive
+    which_day: jax.Array  # [T] int, -1 inactive
+    num_holidays: int
+    window: int  # max window width across holidays
+    prior_mean: float = 0.0
+    prior_sd: float = 1.0
+    name: str = "regression_holiday"
+    dim: int = 1
+    err_dim: int = 0
+    needs_residual: bool = True
+
+    @staticmethod
+    def from_holidays(y, holidays, first_date, name="regression_holiday",
+                      prior_mean=0.0, prior_sd=None):
+        """Build from utils.dates Holiday objects + the date of y[0]."""
+        from boom_tpu.utils.dates import holiday_window_arrays
+
+        wh, wd, width = holiday_window_arrays(
+            holidays, first_date, int(y.shape[0]))
+        sd = float(jnp.std(y))
+        return RegressionHoliday(
+            which_holiday=jnp.asarray(wh), which_day=jnp.asarray(wd),
+            num_holidays=len(holidays), window=width,
+            prior_mean=prior_mean,
+            prior_sd=prior_sd if prior_sd is not None else sd,
+            name=name)
+
+    @property
+    def _flat_idx(self):
+        """[T] index into the flattened [H*W] pattern; 0 where inactive
+        (masked separately)."""
+        idx = self.which_holiday * self.window + self.which_day
+        return jnp.where(self.which_day >= 0, idx, 0)
+
+    @property
+    def _active(self):
+        return self.which_day >= 0
+
+    def z(self):
+        return jnp.ones((1,))
+
+    def z_seq_params(self, params, t_len):
+        vals = params["pattern"].reshape(-1)[self._flat_idx]
+        return jnp.where(self._active, vals, 0.0)[:t_len, None]
+
+    def future_z_rows(self, params, which_holiday, which_day):
+        """[h, 1] observation rows for a forecast horizon, given the
+        future holiday/day index arrays (pass as future_z[name] to
+        Bsts.predict)."""
+        which_holiday = jnp.asarray(which_holiday)
+        which_day = jnp.asarray(which_day)
+        idx = jnp.where(which_day >= 0,
+                        which_holiday * self.window + which_day, 0)
+        vals = params["pattern"].reshape(-1)[idx]
+        return jnp.where(which_day >= 0, vals, 0.0)[:, None]
+
+    def build(self, params):
+        return jnp.ones((1, 1)), jnp.zeros((1, 0)), jnp.zeros((0, 0))
+
+    def init_dist(self):
+        # the state is deterministically 1
+        return jnp.ones((1,)), jnp.zeros((1, 1))
+
+    def init_params(self, key):
+        return {"pattern": self.prior_sd * 0.1 * jax.random.normal(
+            key, (self.num_holidays, self.window))}
+
+    def _daily_posterior(self, resid, h):
+        """Per-(holiday, day) Gaussian posterior moments given residuals."""
+        n_flat = self.num_holidays * self.window
+        inv_h = jnp.broadcast_to(1.0 / h, resid.shape)
+        t_len = resid.shape[0]  # may be a training slice of the series
+        act = self._active[:t_len]
+        idx = self._flat_idx[:t_len]
+        prec_data = jax.ops.segment_sum(
+            jnp.where(act, inv_h, 0.0), idx, n_flat)
+        rhs_data = jax.ops.segment_sum(
+            jnp.where(act, resid * inv_h, 0.0), idx, n_flat)
+        return prec_data, rhs_data
+
+    def draw_params(self, key, params, path, *, resid, h):
+        prec_data, rhs_data = self._daily_posterior(resid, h)
+        prec = prec_data + 1.0 / self.prior_sd**2
+        mean = (rhs_data + self.prior_mean / self.prior_sd**2) / prec
+        z = jax.random.normal(key, mean.shape)
+        pattern = (mean + z / jnp.sqrt(prec)).reshape(
+            self.num_holidays, self.window)
+        return {"pattern": pattern}
+
+    def asis_groups(self):
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical regression holiday — reference
+# HierarchicalRegressionHolidayStateModel.hpp:72 (+
+# HierarchicalGaussianRegressionAsisSampler); bsts
+# add.regression.holiday(hierarchical)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class HierarchicalRegressionHoliday:
+    """Like RegressionHoliday, but the per-holiday daily-effect vectors
+    share an MVN hierarchy: pattern_h ~ MVN(b0, V), with conjugate
+    hyperdraws b0 | patterns ~ MVN and V | patterns ~ InvWishart.
+    Borrowing strength across many similar holidays is the point
+    (reference header: "The more, similar holidays added the better").
+    Every holiday must share the same window width."""
+
+    which_holiday: jax.Array  # [T] int
+    which_day: jax.Array  # [T] int
+    num_holidays: int
+    window: int
+    b0_prior_mean: float = 0.0
+    b0_prior_sd: float = 1.0
+    v_prior_df: float | None = None  # default window + 2
+    v_prior_scale: float = 1.0  # V0 = scale^2 * I
+    name: str = "hier_regression_holiday"
+    dim: int = 1
+    err_dim: int = 0
+    needs_residual: bool = True
+
+    @staticmethod
+    def from_holidays(y, holidays, first_date,
+                      name="hier_regression_holiday"):
+        from boom_tpu.utils.dates import holiday_window_arrays
+
+        widths = {h.maximum_window_width() for h in holidays}
+        assert len(widths) == 1, (
+            f"all holidays need equal windows, got {widths}")
+        wh, wd, width = holiday_window_arrays(
+            holidays, first_date, int(y.shape[0]))
+        sd = float(jnp.std(y))
+        return HierarchicalRegressionHoliday(
+            which_holiday=jnp.asarray(wh), which_day=jnp.asarray(wd),
+            num_holidays=len(holidays), window=width,
+            b0_prior_sd=sd, v_prior_scale=0.5 * sd, name=name)
+
+    _flat_idx = RegressionHoliday._flat_idx
+    _active = RegressionHoliday._active
+    z = RegressionHoliday.z
+    z_seq_params = RegressionHoliday.z_seq_params
+    future_z_rows = RegressionHoliday.future_z_rows
+    build = RegressionHoliday.build
+    init_dist = RegressionHoliday.init_dist
+    _daily_posterior = RegressionHoliday._daily_posterior
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        w = self.window
+        return {
+            "pattern": 0.1 * self.b0_prior_sd * jax.random.normal(
+                k1, (self.num_holidays, w)),
+            "b0": jnp.zeros((w,)),
+            "v": self.v_prior_scale**2 * jnp.eye(w),
+        }
+
+    def draw_params(self, key, params, path, *, resid, h):
+        from boom_tpu import dists
+
+        kp, kb, kv = jax.random.split(key, 3)
+        hh, w = self.num_holidays, self.window
+        prec_data, rhs_data = self._daily_posterior(resid, h)
+        prec_data = prec_data.reshape(hh, w)
+        rhs_data = rhs_data.reshape(hh, w)
+        v = params["v"]
+        v_inv = jnp.linalg.inv(v + 1e-10 * jnp.eye(w))
+
+        # pattern_h | b0, V: MVN with precision diag(data) + V^-1
+        def draw_one(k, pd, rd):
+            prec = jnp.diag(pd) + v_inv
+            return dists.mvn.sample_suf(k, rd + v_inv @ params["b0"], prec)
+
+        pattern = jax.vmap(draw_one)(jax.random.split(kp, hh),
+                                     prec_data, rhs_data)
+
+        # b0 | patterns, V ~ MVN (prior N(mu0, tau0^2 I))
+        prec_b = hh * v_inv + jnp.eye(w) / self.b0_prior_sd**2
+        rhs_b = (v_inv @ jnp.sum(pattern, 0)
+                 + self.b0_prior_mean / self.b0_prior_sd**2)
+        b0 = dists.mvn.sample_suf(kb, rhs_b, prec_b)
+
+        # V | patterns, b0 ~ InvWishart(df0 + H, V0 + scatter)
+        df0 = (self.v_prior_df if self.v_prior_df is not None
+               else w + 2.0)
+        dev = pattern - b0[None, :]
+        scatter = dev.T @ dev
+        v_new = dists.inverse_wishart.sample(
+            kv, df0 + hh,
+            self.v_prior_scale**2 * jnp.eye(w) + scatter)
+        return {"pattern": pattern, "b0": b0, "v": v_new}
+
+    def asis_groups(self):
+        return []
+
+
+# ---------------------------------------------------------------------------
+# General seasonal LLT — reference GeneralSeasonalStateModel.hpp:70
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class GeneralSeasonalLLT:
+    """One local-linear-trend PER SEASON; season s = t mod S contributes
+    its level to the observation at time t; the level components are
+    de-meaned every transition for identifiability (the reference's
+    SubsetEffectConstraintMatrix M premultiplies both the transition and
+    the error expander, SparseMatrix.hpp:1701). Intended for "a sinusoid
+    with growing amplitude". Per-season level/slope variances get plain
+    LLT conjugate draws on their own state chunk, exactly as the
+    reference's observe_state delegates to subordinate LLT models
+    (GeneralSeasonalStateModel.cpp:99-107)."""
+
+    nseasons: int
+    level_prior: SdPrior
+    slope_prior: SdPrior
+    initial_sd: float = 1.0
+    name: str = "general_seasonal_llt"
+
+    @property
+    def dim(self):
+        return 2 * self.nseasons
+
+    @property
+    def err_dim(self):
+        return 2 * self.nseasons
+
+    @staticmethod
+    def default(y, nseasons, name=None):
+        sd = float(jnp.std(y))
+        return GeneralSeasonalLLT(
+            nseasons=nseasons,
+            level_prior=SdPrior(sigma_guess=0.01 * sd, upper_limit=sd),
+            slope_prior=SdPrior(sigma_guess=0.01 * sd, upper_limit=sd),
+            initial_sd=sd, name=name or f"general_seasonal_{nseasons}")
+
+    def _m(self):
+        """De-mean levels (even positions), pass slopes through."""
+        d = self.dim
+        m = jnp.eye(d)
+        lvl = jnp.arange(d) % 2 == 0
+        sub = jnp.outer(lvl, lvl) / self.nseasons
+        return m - sub
+
+    def _t0(self):
+        llt = jnp.asarray([[1.0, 1.0], [0.0, 1.0]])
+        return jax.scipy.linalg.block_diag(*([llt] * self.nseasons))
+
+    def z(self):
+        return jnp.zeros((self.dim,)).at[0].set(1.0)
+
+    def z_seq(self, t_len):
+        pos = 2 * (jnp.arange(t_len) % self.nseasons)
+        return jax.nn.one_hot(pos, self.dim, dtype=jnp.result_type(float))
+
+    def build(self, params):
+        m = self._m()
+        q = jnp.diag(jnp.stack([params["sigma_level_sq"],
+                                params["sigma_slope_sq"]],
+                               axis=-1).reshape(-1))
+        return m @ self._t0(), m, q
+
+    def init_dist(self):
+        return (jnp.zeros((self.dim,)),
+                self.initial_sd**2 * jnp.eye(self.dim))
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        s = self.nseasons
+        u1 = jax.random.uniform(k1, (s,), minval=0.05, maxval=0.5)
+        u2 = jax.random.uniform(k2, (s,), minval=0.01, maxval=0.2)
+        return {"sigma_level_sq": (self.initial_sd * u1) ** 2,
+                "sigma_slope_sq": (self.initial_sd * u2) ** 2}
+
+    def draw_params(self, key, params, path):
+        # per-season chunks against the PLAIN LLT transition — matching
+        # the reference, whose observe_state hands raw 2-dim chunks to
+        # subordinate LocalLinearTrend models
+        llt = jnp.asarray([[1.0, 1.0], [0.0, 1.0]])
+        chunks = path.reshape(path.shape[0], self.nseasons, 2)
+
+        def one(k, chunk):
+            k1, k2 = jax.random.split(k)
+            eta = chunk[1:] - chunk[:-1] @ llt.T
+            lvl = self.level_prior.draw_variance(
+                k1, eta.shape[0], jnp.sum(eta[:, 0] ** 2))
+            slp = self.slope_prior.draw_variance(
+                k2, eta.shape[0], jnp.sum(eta[:, 1] ** 2))
+            return lvl, slp
+
+        keys = jax.random.split(key, self.nseasons)
+        lvls, slps = jax.vmap(one)(keys, jnp.swapaxes(chunks, 0, 1))
+        return {"sigma_level_sq": lvls, "sigma_slope_sq": slps}
+
+    def asis_groups(self):
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Dynamic regression with AR(p) coefficients — reference
+# DynamicRegressionArStateModel.hpp; bsts AddDynamicRegression(model.options=
+# DynamicRegressionArOptions)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class DynamicRegressionAr:
+    """Time-varying regression coefficients, each following its own AR(p)
+    with mean zero: state per coefficient j is the lag stack
+    (beta_j[t], ..., beta_j[t-p+1]); Z_t has x[t, j] at position
+    j * lags (reference header comment). Coefficient AR parameters get
+    conjugate draws with fixed-trip stationarity rejection, mirroring
+    ArPosteriorSampler."""
+
+    predictors: jax.Array  # [T, p]
+    lags: int
+    sigma_prior: SdPrior
+    phi_prior_sd: float = 1.0
+    initial_sd: float = 1.0
+    name: str = "dynamic_regression_ar"
+
+    @property
+    def xdim(self):
+        return self.predictors.shape[1]
+
+    @property
+    def dim(self):
+        return self.xdim * self.lags
+
+    @property
+    def err_dim(self):
+        return self.xdim
+
+    @staticmethod
+    def default(y, predictors, lags=1, name="dynamic_regression_ar"):
+        sd = float(jnp.std(y))
+        xsd = float(jnp.mean(jnp.std(predictors, axis=0)) + 1e-12)
+        return DynamicRegressionAr(
+            predictors=predictors, lags=lags,
+            sigma_prior=SdPrior(sigma_guess=0.01 * sd / xsd,
+                                upper_limit=sd / xsd),
+            initial_sd=sd / xsd, name=name)
+
+    def z(self):
+        return self.z_seq(1)[0]
+
+    def z_seq(self, t_len):
+        z = jnp.zeros((self.predictors.shape[0], self.dim),
+                      self.predictors.dtype)
+        cols = jnp.arange(self.xdim) * self.lags
+        z = z.at[:, cols].set(self.predictors)
+        return z[:t_len]
+
+    def _companion(self, phi):
+        """[lags, lags] companion matrix for one coefficient."""
+        p = self.lags
+        top = phi[None, :]
+        shift = jnp.eye(p - 1, p) if p > 1 else jnp.zeros((0, p))
+        return jnp.concatenate([top, shift], axis=0)
+
+    def build(self, params):
+        t_blocks = jax.vmap(self._companion)(params["phi"])  # [x, l, l]
+        t_mat = jax.scipy.linalg.block_diag(
+            *[t_blocks[j] for j in range(self.xdim)])
+        r_mat = jnp.zeros((self.dim, self.xdim))
+        for j in range(self.xdim):
+            r_mat = r_mat.at[j * self.lags, j].set(1.0)
+        q_mat = jnp.diag(params["sigma_sq"])
+        return t_mat, r_mat, q_mat
+
+    def init_dist(self):
+        return (jnp.zeros((self.dim,)),
+                self.initial_sd**2 * jnp.eye(self.dim))
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        phi0 = jax.random.uniform(k1, (self.xdim,), minval=0.3,
+                                  maxval=0.9)
+        phi = jnp.zeros((self.xdim, self.lags)).at[:, 0].set(phi0)
+        u = jax.random.uniform(k2, (self.xdim,), minval=0.1, maxval=0.7)
+        return {"phi": phi, "sigma_sq": (self.initial_sd * u) ** 2}
+
+    def draw_params(self, key, params, path):
+        chunks = path.reshape(path.shape[0], self.xdim, self.lags)
+
+        def one(k, chunk, sigsq_cur, phi_cur):
+            k_phi, k_sig = jax.random.split(k)
+            resp = chunk[1:, 0]
+            preds = chunk[:-1, :]
+            prec = (preds.T @ preds) / sigsq_cur + jnp.eye(
+                self.lags) / self.phi_prior_sd**2
+            b = (preds.T @ resp) / sigsq_cur
+            cands = jax.vmap(
+                lambda kk: dists.mvn.sample_suf(kk, b, prec))(
+                    jax.random.split(k_phi, 16))
+            ok = jax.vmap(_jury_stationary)(cands)
+            idx = jnp.argmax(ok)
+            phi = jnp.where(jnp.any(ok), cands[idx], phi_cur * 0.5)
+            eps = resp - preds @ phi
+            sigsq = self.sigma_prior.draw_variance(
+                k_sig, eps.shape[0], jnp.sum(eps * eps))
+            return phi, sigsq
+
+        keys = jax.random.split(key, self.xdim)
+        phi, sigsq = jax.vmap(one)(keys, jnp.swapaxes(chunks, 0, 1),
+                                   params["sigma_sq"], params["phi"])
+        return {"phi": phi, "sigma_sq": sigsq}
+
+    def asis_groups(self):
+        return []

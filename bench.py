@@ -17,6 +17,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _check_rhat(monitored, label, threshold=1.02):
+    """Convergence gate: max split rank-normalized R-hat over monitored
+    scalars must be near 1 at bench config. Guards against reporting
+    ESS of a broken/stuck sampler (which round 1 did: an f32 TPU
+    filter failure left sigsq_obs at initialization while the ESS
+    estimator reported huge values on what was effectively noise)."""
+    from boom_tpu.inference import diagnostics
+
+    r = np.asarray(diagnostics.potential_scale_reduction(monitored))
+    rmax = float(np.max(r))
+    print(f"# {label}: max R-hat {rmax:.4f} (gate < {threshold})",
+          file=sys.stderr)
+    if not rmax < threshold:
+        print(f"# {label}: CONVERGENCE GATE FAILED", file=sys.stderr)
+        raise SystemExit(1)
+    return rmax
+
+
 def bench_spike_slab():
     from boom_tpu.inference import effective_sample_size, run_mcmc
     from boom_tpu.models.glm import SpikeSlabRegression
@@ -40,6 +58,7 @@ def bench_spike_slab():
     elapsed = time.time() - t0
     monitored = jnp.concatenate(
         [d["beta"][..., :nonzero], d["sigsq"][..., None]], axis=-1)
+    _check_rhat(monitored, "spike_slab")
     ess = np.asarray(effective_sample_size(monitored))
     return float(np.min(ess)) / elapsed, elapsed, ess
 
@@ -73,6 +92,7 @@ def bench_bsts_llt():
     elapsed = time.time() - t0
     monitored = jnp.stack(
         [d["so"], jnp.sqrt(d["lvl"]), jnp.sqrt(d["slp"])], axis=-1)
+    _check_rhat(monitored, "bsts_llt")
     ess = np.asarray(effective_sample_size(monitored))
     return float(np.min(ess)) / elapsed, elapsed, ess
 

@@ -250,6 +250,31 @@ class BstsModel:
             ("dynamic_regression", dict(kw, predictors=predictors)))
         return self
 
+    def add_regression_holiday(self, holidays, first_date,
+                               hierarchical=False, **kw):
+        """holidays: utils.dates Holiday objects (or names accepted by
+        create_named_holiday); first_date: date of y[0]. Mirrors R's
+        AddRegressionHoliday / AddHierarchicalRegressionHoliday."""
+        from boom_tpu.utils.dates import Holiday, create_named_holiday
+
+        hols = [h if isinstance(h, Holiday) else create_named_holiday(h)
+                for h in holidays]
+        self._specs.append(("regression_holiday",
+                            dict(kw, holidays=hols, first_date=first_date,
+                                 hierarchical=hierarchical)))
+        return self
+
+    def add_general_seasonal_llt(self, nseasons, **kw):
+        self._specs.append(
+            ("general_seasonal_llt", dict(kw, nseasons=nseasons)))
+        return self
+
+    def add_dynamic_regression_ar(self, predictors, lags=1, **kw):
+        self._specs.append(
+            ("dynamic_regression_ar",
+             dict(kw, predictors=jnp.asarray(predictors), lags=lags)))
+        return self
+
     def add_random_walk_holiday(self, active, window, **kw):
         self._specs.append(
             ("holiday", dict(kw, active=active, window=window)))
@@ -274,6 +299,22 @@ class BstsModel:
             "dynamic_regression":
                 lambda kw: sm.DynamicRegression.default(y, **kw),
             "holiday": lambda kw: sm.RandomWalkHoliday.default(y, **kw),
+            "regression_holiday": lambda kw: (
+                sm.HierarchicalRegressionHoliday.from_holidays(
+                    y, kw["holidays"], kw["first_date"],
+                    **{k: v for k, v in kw.items()
+                       if k not in ("holidays", "first_date",
+                                    "hierarchical")})
+                if kw.get("hierarchical")
+                else sm.RegressionHoliday.from_holidays(
+                    y, kw["holidays"], kw["first_date"],
+                    **{k: v for k, v in kw.items()
+                       if k not in ("holidays", "first_date",
+                                    "hierarchical")})),
+            "general_seasonal_llt":
+                lambda kw: sm.GeneralSeasonalLLT.default(y, **kw),
+            "dynamic_regression_ar":
+                lambda kw: sm.DynamicRegressionAr.default(y, **kw),
         }
         return [builders[name](kw) for name, kw in self._specs]
 
@@ -362,3 +403,170 @@ class BstsModel:
                 return self._model.predict(k, st, horizon, **kwargs)
 
         return jax.jit(jax.vmap(one))(keys, sub)
+
+
+@dataclasses.dataclass
+class DirmModel:
+    """dirm front end (reference Interfaces/R/bsts/R/dirm.R): dynamic
+    intercept regression over multiplexed observations.
+
+        model = DirmModel().add_local_linear_trend()
+        model.fit(y_list, x_list, niter=1000)   # ragged per-time data
+        model.predict(future_predictors)
+    """
+
+    _specs: list = dataclasses.field(default_factory=list)
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    # share the state-spec builders with BstsModel
+    add_local_level = BstsModel.add_local_level
+    add_local_linear_trend = BstsModel.add_local_linear_trend
+    add_semilocal_linear_trend = BstsModel.add_semilocal_linear_trend
+    add_seasonal = BstsModel.add_seasonal
+    add_trig = BstsModel.add_trig
+    add_ar = BstsModel.add_ar
+    add_static_intercept = BstsModel.add_static_intercept
+    _build_blocks = BstsModel._build_blocks
+
+    def fit(self, y, predictors, observed=None, expected_model_size=1.0,
+            niter=1000, num_chains=4, burn=200, seed=0, **model_kw):
+        """y/predictors: padded [T, n_max] / [T, n_max, p] arrays with an
+        `observed` mask, or ragged per-time lists."""
+        from boom_tpu.models.glm.regression import SpikeSlabPrior
+        from boom_tpu.statespace.dirm import DynamicInterceptRegression
+
+        if isinstance(y, (list, tuple)):
+            flat_y = jnp.concatenate(
+                [jnp.atleast_1d(jnp.asarray(v, jnp.result_type(float)))
+                 for v in y])
+            flat_x = jnp.concatenate(
+                [jnp.atleast_2d(jnp.asarray(v, jnp.result_type(float)))
+                 for v in predictors])
+            prior = SpikeSlabPrior.from_data(
+                flat_x, flat_y, expected_model_size=expected_model_size)
+            ymeans = jnp.asarray(
+                [float(jnp.mean(jnp.asarray(v))) for v in y])
+            self._model = DynamicInterceptRegression.from_ragged(
+                y, predictors, blocks=self._build_blocks(ymeans),
+                reg_prior=prior, **model_kw)
+        else:
+            y = jnp.asarray(y)
+            predictors = jnp.asarray(predictors)
+            if observed is None:
+                observed = jnp.ones(y.shape, bool)
+            p = predictors.shape[-1]
+            prior = SpikeSlabPrior.from_data(
+                predictors.reshape(-1, p), y.reshape(-1),
+                expected_model_size=expected_model_size)
+            self._model = DynamicInterceptRegression(
+                y=y, predictors=predictors, observed=observed,
+                blocks=self._build_blocks(jnp.mean(y, 1)),
+                reg_prior=prior, **model_kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    draws = BstsModel.draws
+    coefficients = BstsModel.coefficients
+    summary = BstsModel.summary
+    state_contribution_draws = BstsModel.state_contribution_draws
+
+    def predict(self, future_predictors, seed=0, max_draws=200):
+        flat = self._result.stacked()
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
+        keys = jax.random.split(jax.random.key(seed), take)
+        fp = jnp.asarray(future_predictors)
+        return jax.jit(jax.vmap(
+            lambda k, st: self._model.predict(k, st, fp)))(keys, sub)
+
+
+@dataclasses.dataclass
+class MixedFrequencyModel:
+    """Mixed-frequency front end (reference bsts/R/mixed.frequency.R):
+    fine-scale latent structural time series observed as coarse
+    aggregates."""
+
+    _specs: list = dataclasses.field(default_factory=list)
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    add_local_level = BstsModel.add_local_level
+    add_local_linear_trend = BstsModel.add_local_linear_trend
+    add_semilocal_linear_trend = BstsModel.add_semilocal_linear_trend
+    add_seasonal = BstsModel.add_seasonal
+    add_trig = BstsModel.add_trig
+    add_ar = BstsModel.add_ar
+    _build_blocks = BstsModel._build_blocks
+
+    def fit(self, coarse_y, which_coarse, fraction=None, predictors=None,
+            expected_model_size=1.0, niter=1000, num_chains=4, burn=200,
+            seed=0, **model_kw):
+        """coarse_y: [M] observed totals; which_coarse: [T] coarse-period
+        index of each fine period's start; fraction: [T] share of the
+        fine period in that coarse period (FineNowcastingData's
+        fraction_of_value_in_initial_period)."""
+        from boom_tpu.models.glm.regression import SpikeSlabPrior
+        from boom_tpu.statespace.mixed_frequency import (
+            MixedFrequencyRegression,
+            build_aggregation_matrix,
+        )
+
+        coarse_y = jnp.asarray(coarse_y)
+        agg = build_aggregation_matrix(which_coarse, fraction)
+        # pseudo fine series for block scale defaults
+        pseudo = agg.T @ jnp.linalg.solve(
+            agg @ agg.T + 1e-10 * jnp.eye(agg.shape[0]), coarse_y)
+        reg_prior = None
+        if predictors is not None:
+            predictors = jnp.asarray(predictors)
+            reg_prior = SpikeSlabPrior.from_data(
+                predictors, pseudo,
+                expected_model_size=expected_model_size)
+        self._model = MixedFrequencyRegression(
+            coarse_y=coarse_y, agg=agg, predictors=predictors,
+            reg_prior=reg_prior, blocks=self._build_blocks(pseudo),
+            **model_kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    draws = BstsModel.draws
+    summary = BstsModel.summary
+    state_contribution_draws = BstsModel.state_contribution_draws
+
+    def fine_series_draws(self):
+        """Posterior draws of the latent fine-scale series [*, T]."""
+        return self._result.stacked()["w"]
+
+    def predict(self, horizon, future_which_coarse=None,
+                future_fraction=None, future_predictors=None, seed=0,
+                max_draws=200):
+        from boom_tpu.statespace.mixed_frequency import (
+            build_aggregation_matrix,
+        )
+
+        fut_agg = None
+        if future_which_coarse is not None:
+            fut_agg = build_aggregation_matrix(future_which_coarse,
+                                               future_fraction)
+        flat = self._result.stacked()
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
+        keys = jax.random.split(jax.random.key(seed), take)
+        kw = {}
+        if future_predictors is not None:
+            kw["future_predictors"] = jnp.asarray(future_predictors)
+        fn = jax.jit(jax.vmap(
+            lambda k, st: self._model.predict(
+                k, st, horizon, future_agg=fut_agg, **kw)))
+        return fn(keys, sub)

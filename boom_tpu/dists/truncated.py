@@ -208,3 +208,50 @@ class trun_logistic:
         z = lp - jnp.log(-jnp.expm1(lp))
         z = jnp.clip(z, a, b)
         return loc_ + scale_ * z
+
+
+def trun_gamma_lower_fast(key, a, b, lo, newton_iters: int = 6):
+    """Gamma(a, rate b) truncated to [lo, inf) by inverse CDF with a
+    Wilson-Hilferty start + log-space Newton polish.
+
+    Fast path for the posterior variance draws of SdPrior (shape a =
+    df/2 with df = prior_ss + n, so a is moderate-to-large where
+    Wilson-Hilferty is accurate and Newton converges in a few steps) —
+    the generic trun_gamma.sample runs a ~90-step bisection quantile
+    plus a 32-trip rejection scan, which dominated the bsts sweep
+    (reference rtrun_gamma_mt has the same role, trun_gamma.cpp)."""
+    import jax.scipy.special as jsp
+
+    from boom_tpu.dists.continuous import gamma as gamma_dist
+
+    a = jnp.asarray(a)
+    dtype = jnp.result_type(a, jnp.asarray(b), jnp.asarray(lo),
+                            jnp.result_type(float))
+    a = a.astype(dtype)
+    b = jnp.asarray(b, dtype)
+    lo = jnp.asarray(lo, dtype)
+    shape = jnp.broadcast_shapes(a.shape, b.shape, lo.shape)
+    tiny = jnp.finfo(dtype).tiny
+
+    p_lo = gamma_dist.cdf(lo, a, b)
+    u = jax.random.uniform(key, shape, dtype, minval=tiny)
+    # dtype-aware upper clip: a fixed 1 - 1e-7 rounds to exactly 1.0 in
+    # float32 and ndtri(1.0) = inf
+    p_hi = 1.0 - jnp.finfo(dtype).epsneg
+    p = jnp.clip(p_lo + u * (1.0 - p_lo), tiny, p_hi)
+
+    # Wilson-Hilferty initial value (for the unit-rate gamma)
+    z = jsp.ndtri(p)
+    c = 1.0 / (9.0 * jnp.maximum(a, 0.5))
+    x = jnp.maximum(a * (1.0 - c + z * jnp.sqrt(c)) ** 3, 0.1 * a)
+    t = jnp.log(jnp.maximum(x / b, tiny))  # log-space iterate
+
+    # Newton on F(e^t) - p = 0: dt = -(F - p) / (f(x) * x)
+    for _ in range(newton_iters):
+        x = jnp.exp(t)
+        fx = gamma_dist.cdf(x, a, b)
+        log_dens_x = gamma_dist.logpdf(x, a, b) + t  # log(f(x) * x)
+        step = (fx - p) * jnp.exp(-jnp.clip(log_dens_x, -80.0, 80.0))
+        t = t - jnp.clip(step, -2.0, 2.0)
+
+    return jnp.maximum(jnp.exp(t), lo)

@@ -2,7 +2,8 @@
 
 from boom_tpu.models import conjugate, glm
 from boom_tpu.models.bandits import BinomialBandit, LogitBandit
-from boom_tpu.models.bart import BartConfig, GaussianBart
+from boom_tpu.models.bart import (BartConfig, GaussianBart, LogitBart,
+                                  PoissonBart, ProbitBart)
 from boom_tpu.models.beta_binomial import BetaBinomialModel
 from boom_tpu.models.dirichlet_process import (
     DpGaussianMixture,
@@ -45,7 +46,8 @@ __all__ = [
     "ZeroInflatedGamma",
     "BinomialBandit", "LogitBandit",
     "HierarchicalGaussian", "HierarchicalPoisson", "HierarchicalGamma",
-    "GpRegression", "GaussianBart", "BartConfig",
+    "GpRegression", "GaussianBart", "BartConfig", "LogitBart",
+    "ProbitBart", "PoissonBart",
     "PoissonFactorModel", "MultinomialFactorModel",
     "TwoPl", "PartialCredit",
     "HomogeneousPoissonProcess", "WeeklyCyclePoissonProcess",

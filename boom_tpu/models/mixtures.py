@@ -248,3 +248,67 @@ class RegressionMixture:
             return {"beta": beta, "sigsq": sigsq, "weights": weights}
 
         return sweep
+
+
+def identify_permutation(assignments, num_components, num_rounds: int = 3):
+    """Resolve label switching from cluster-assignment draws by solving
+    an assignment problem per draw (reference
+    Models/Mixtures/identify_permutation.hpp:39 /
+    identify_permutation.cpp): iterate (1) estimate the co-clustering
+    probabilities pbar[i, k] from the current labeling, (2) for each
+    draw find the label permutation maximizing agreement with pbar
+    (Hungarian on cost = -sum_i pbar[i, perm(k)] 1[z_i = k]).
+
+    Unlike sort-by-mean relabeling this works for multivariate and
+    equal-mean components. Host-side numpy (analysis-time).
+
+    assignments: [draws, n] int cluster labels.
+    Returns perms [draws, K]: new_label = perms[d, old_label]."""
+    import numpy as np
+
+    from boom_tpu.numopt import linear_assignment
+
+    z = np.asarray(assignments)
+    d, n = z.shape
+    k = int(num_components)
+    perms = np.tile(np.arange(k), (d, 1))
+    onehot = np.eye(k)[z]  # [draws, n, K]
+    for _ in range(num_rounds):
+        relab = np.take_along_axis(perms[:, None, :], z[..., None],
+                                   axis=2)[..., 0]  # [draws, n]
+        pbar = np.eye(k)[relab].mean(0)  # [n, K]
+        changed = False
+        for di in range(d):
+            # cost[j, l]: assign old label j to new label l
+            agree = onehot[di].T @ pbar  # [K, K]
+            new_perm = np.arange(k)[linear_assignment(-agree)]
+            if not np.array_equal(new_perm, perms[di]):
+                changed = True
+            perms[di] = linear_assignment(-agree)
+        if not changed:
+            break
+    return perms
+
+
+def relabel_by_permutation(perms, assignments=None, *component_draws):
+    """Apply identify_permutation's output: relabeled assignments and
+    component-parameter draws whose LAST axis is the component axis
+    ([draws, ..., K])."""
+    import numpy as np
+
+    perms = np.asarray(perms)
+    d, k = perms.shape
+    out = []
+    if assignments is not None:
+        z = np.asarray(assignments)
+        out.append(np.take_along_axis(perms[:, None, :], z[..., None],
+                                      axis=2)[..., 0])
+    # for params indexed by OLD label j, the value of NEW label l comes
+    # from old label inv_perm[l]
+    inv = np.argsort(perms, axis=1)  # [draws, K]
+    for arr in component_draws:
+        a = np.asarray(arr)
+        idx = inv.reshape((d,) + (1,) * (a.ndim - 2) + (k,))
+        out.append(np.take_along_axis(a, np.broadcast_to(
+            idx, a.shape[:-1] + (k,)), axis=-1))
+    return tuple(out)

@@ -274,3 +274,60 @@ def laplace_approximation(log_density: Callable, x0, max_iters: int = 50):
     log_integral = (f(flat) + 0.5 * d * jnp.log(2.0 * jnp.pi)
                     - 0.5 * logdet)
     return res.x, cov, log_integral
+
+
+def linear_assignment(cost):
+    """Minimum-cost perfect assignment on a square cost matrix
+    (reference numopt/LinearAssignment.hpp + the vendored solver in
+    numopt/linear_assignment/). Host-side O(n^3) Hungarian (Jonker-
+    Volgenant potentials variant) in numpy — assignment problems here
+    are analysis-time (mixture relabeling) or tiny, never traced.
+
+    Returns row_to_col: row i is assigned column row_to_col[i]."""
+    import numpy as np
+
+    c = np.asarray(cost, dtype=float)
+    assert c.ndim == 2 and c.shape[0] == c.shape[1], c.shape
+    n = c.shape[0]
+    # potentials u (rows), v (cols); way[j] = predecessor col on the
+    # augmenting path; p[j] = row matched to col j (1-indexed internals)
+    inf = float("inf")
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=int)
+    way = np.zeros(n + 1, dtype=int)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, inf)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], inf, 0
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = c[i0 - 1, j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    row_to_col = np.zeros(n, dtype=int)
+    for j in range(1, n + 1):
+        if p[j] > 0:
+            row_to_col[p[j] - 1] = j - 1
+    return row_to_col

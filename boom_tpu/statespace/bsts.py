@@ -116,8 +116,12 @@ class Bsts:
     def _time_varying_q(self):
         return any(hasattr(b, "q_scale_seq") for b in self.blocks)
 
+    @property
+    def t_len(self):
+        return self.y.shape[0]
+
     def ssm_params(self, state):
-        t_len = self.y.shape[0]
+        t_len = self.t_len
         zs, ts, rs, qs = [], [], [], []
         for b in self.blocks:
             t_mat, r_mat, q_mat = b.build(state["blocks"][b.name])
@@ -352,13 +356,15 @@ class Bsts:
 
         k_scan = jax.random.split(key, horizon)
 
+        from boom_tpu.statespace.kalman import _mv
+
         def step(alpha, inp):
             k, z_t, s_t = inp
             k_eta, k_eps = jax.random.split(k)
-            eta = (s_t * (q_chol @ jax.random.normal(k_eta, (q_dim,)))
+            eta = (s_t * _mv(q_chol, jax.random.normal(k_eta, (q_dim,)))
                    if q_dim else jnp.zeros((0,)))
-            alpha_next = params.t_mat @ alpha + params.r_mat @ eta
-            y_next = (z_t @ alpha_next
+            alpha_next = _mv(params.t_mat, alpha) + _mv(params.r_mat, eta)
+            y_next = (jnp.sum(z_t * alpha_next, -1)
                       + jnp.sqrt(params.hs(1)[0])
                       * jax.random.normal(k_eps))
             return alpha_next, y_next
@@ -396,11 +402,15 @@ def asis_redraw(key, blocks, params, state, y_adj, h, slice_steps=8):
     slow slope variance."""
     from boom_tpu.inference.kernels.slice import slice_step
 
+    from boom_tpu.statespace.kalman import _mv
+
     alpha = state["alpha"]
     t_mat, r_mat = params.t_mat, params.r_mat
     zs = params.zs(alpha.shape[0])
-    # innovations [T-1, q]: R is column-orthonormal (selector/identity)
-    eta = (alpha[1:] - alpha[:-1] @ t_mat.T) @ r_mat
+    # innovations [T-1, q]: R is column-orthonormal (selector/identity).
+    # Elementwise mul-sum products (see kalman._mm for why not `@`).
+    diff = alpha[1:] - _mv(t_mat, alpha[:-1])
+    eta = jnp.sum(r_mat * diff[..., :, None], axis=-2)
 
     new_blocks = {name: dict(v) for name, v in state["blocks"].items()}
     groups = []
@@ -422,10 +432,12 @@ def asis_redraw(key, blocks, params, state, y_adj, h, slice_steps=8):
         for dcol in dims:
             cols = cols.at[dcol].set(1.0)
         tilde = (eta * cols[None, :]) / sig_cur  # [T-1, q]
-        w = tilde @ r_mat.T  # [T-1, d]
+        w = _mv(r_mat, tilde)  # [T-1, d]
+
+        from boom_tpu.statespace.kalman import _mv
 
         def rec(dprev, w_t):
-            dnext = t_mat @ dprev + w_t
+            dnext = _mv(t_mat, dprev) + w_t
             return dnext, dnext
 
         d0 = jnp.zeros((alpha.shape[1],), alpha.dtype)

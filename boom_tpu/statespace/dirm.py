@@ -97,6 +97,7 @@ class DynamicInterceptRegression:
             reg_prior=reg_prior, **kw)
 
     # composite system assembly is shared with Bsts
+    t_len = _Bsts.t_len
     ssm_params = _Bsts.ssm_params
     _slices = _Bsts._slices
     state_dim = _Bsts.state_dim

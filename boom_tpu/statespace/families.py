@@ -81,6 +81,7 @@ class NonGaussianBsts:
                         upper_limit=2.0 * sd))
 
     # reuse the Gaussian composite's system assembly
+    t_len = Bsts.t_len
     ssm_params = Bsts.ssm_params
     _slices = Bsts._slices
     state_dim = Bsts.state_dim

@@ -98,30 +98,51 @@ class FilterResult(NamedTuple):
     p: jax.Array  # [T, d, d] predicted state covariances
 
 
-def kalman_filter(params: SsmParams, y, observed=None) -> FilterResult:
-    """Forward pass. `observed` is a bool mask (True = y_t present)."""
-    y = jnp.asarray(y)
+def _mm(a, b):
+    """Matrix product via broadcast-multiply-sum. For the small [d, d]
+    per-chain systems here, `@`/einsum lower to dot_general, which XLA
+    pads onto the 128x128 MXU under a chain vmap — measured ~10-25x
+    slower at bench config (8192 chains, d=2) than this elementwise
+    form, which stays on the VPU."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _mv(m, v):
+    """Matrix-vector product, elementwise form (see _mm)."""
+    return jnp.sum(m * v[..., None, :], axis=-1)
+
+
+def _vdot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _filter_core(params: SsmParams, y, observed, want_ap: bool):
+    """Shared forward pass. With want_ap=False only (v, f, k, ll) are
+    emitted per step — the Koopman smoother needs nothing else (its
+    alpha_1 uses a0/P0 directly), and skipping the [T, d, d] P output
+    removes the dominant HBM write traffic of every bsts sweep."""
     t_len = y.shape[0]
-    if observed is None:
-        observed = jnp.ones((t_len,), bool)
     dtype = params.t_mat.dtype
     tv = params.time_varying
+    t_mat = params.t_mat
 
     def step_core(a, p, y_t, obs_t, z_t, h_t, rqr_t):
-        v = jnp.where(obs_t, y_t - z_t @ a, 0.0)
-        pz = p @ z_t
-        f = z_t @ pz + h_t
-        k_gain = jnp.where(obs_t, (params.t_mat @ pz) / f,
-                           jnp.zeros_like(pz))
-        l_mat = params.t_mat - jnp.outer(k_gain, z_t)
-        a_next = params.t_mat @ a + k_gain * v
-        p_next = params.t_mat @ p @ l_mat.T + rqr_t
-        p_next = 0.5 * (p_next + p_next.T)
+        v = jnp.where(obs_t, y_t - _vdot(z_t, a), 0.0)
+        pz = _mv(p, z_t)
+        f = _vdot(z_t, pz) + h_t
+        k_gain = jnp.where(obs_t, _mv(t_mat, pz) / f, jnp.zeros_like(pz))
+        l_mat = t_mat - k_gain[..., :, None] * z_t[..., None, :]
+        a_next = _mv(t_mat, a) + k_gain * v
+        p_next = _mm(_mm(t_mat, p), jnp.swapaxes(l_mat, -1, -2)) + rqr_t
+        p_next = 0.5 * (p_next + jnp.swapaxes(p_next, -1, -2))
         ll = jnp.where(
             obs_t,
             -0.5 * (math.log(2.0 * math.pi) + jnp.log(f) + v * v / f),
             0.0)
-        return (a_next, p_next), (v, f, k_gain, a, p, ll)
+        out = (v, f, k_gain, ll)
+        if want_ap:
+            out = out + (a, p)
+        return (a_next, p_next), out
 
     if tv:
         xs = (y.astype(dtype), observed, params.zs(t_len).astype(dtype),
@@ -137,59 +158,80 @@ def kalman_filter(params: SsmParams, y, observed=None) -> FilterResult:
         def step(carry, inp):
             return step_core(*carry, inp[0], inp[1], z_vec, h_sc, rqr)
 
-    (_, _), (v, f, k, a, p, ll) = jax.lax.scan(
+    return jax.lax.scan(
         step, (params.a0.astype(dtype), params.p0.astype(dtype)),
         xs, unroll=SCAN_UNROLL)
+
+
+def kalman_filter(params: SsmParams, y, observed=None) -> FilterResult:
+    """Forward pass. `observed` is a bool mask (True = y_t present)."""
+    y = jnp.asarray(y)
+    t_len = y.shape[0]
+    if observed is None:
+        observed = jnp.ones((t_len,), bool)
+    (_, _), (v, f, k, ll, a, p) = _filter_core(params, y, observed,
+                                               want_ap=True)
     return FilterResult(loglik=ll.sum(), v=v, f=f, k=k, a=a, p=p)
 
 
-def fast_state_smoother(params: SsmParams, filt: FilterResult, observed=None):
-    """Koopman (1993) fast state smoother: E[alpha_t | y_{1:T}].
-
-    Backward pass for the weighted-innovation process r, then a forward
-    state recursion (reference fast_disturbance_smooth,
+def _smoother_passes(params: SsmParams, v, f, k, observed):
+    """Backward r recursion + forward state recursion given the filter's
+    (v, f, k) streams (reference fast_disturbance_smooth,
     StateSpaceModelBase.cpp:843, followed by propagate_disturbances)."""
-    t_len = filt.v.shape[0]
-    if observed is None:
-        observed = jnp.ones((t_len,), bool)
+    t_len = v.shape[0]
     tv = params.time_varying
     zs = params.zs(t_len)
     rqrs = params.rqrs(t_len) if tv else None
     rqr = None if tv else params.rqr
+    t_mat = params.t_mat
 
     def bstep(r, inp):
-        v, f, k_gain, obs, z_t = inp
-        l_mat = params.t_mat - jnp.outer(k_gain, z_t)
-        r_prev = jnp.where(obs, z_t * (v / f), 0.0) + l_mat.T @ r
+        v_t, f_t, k_gain, obs, z_t = inp
+        l_mat = t_mat - k_gain[..., :, None] * z_t[..., None, :]
+        r_prev = (jnp.where(obs, z_t * (v_t / f_t), 0.0)
+                  + _mv(jnp.swapaxes(l_mat, -1, -2), r))
         return r_prev, r_prev
 
     zero_r = jnp.zeros_like(params.a0)
-    _, rs = jax.lax.scan(bstep, zero_r,
-                         (filt.v, filt.f, filt.k, observed, zs),
+    _, rs = jax.lax.scan(bstep, zero_r, (v, f, k, observed, zs),
                          reverse=True, unroll=SCAN_UNROLL)
-    # rs[t] = r_{t-1}; alpha_1 = a_1 + P_1 r_0
-    alpha0 = filt.a[0] + filt.p[0] @ rs[0]
+    # rs[t] = r_{t-1}; alpha_1 = a_1 + P_1 r_0 with a_1 = a0, P_1 = P0
+    alpha0 = params.a0 + _mv(params.p0, rs[0])
 
     if tv:
         def fstep(alpha, inp):
             r_t, rqr_t = inp
-            alpha_next = params.t_mat @ alpha + rqr_t @ r_t
+            alpha_next = _mv(t_mat, alpha) + _mv(rqr_t, r_t)
             return alpha_next, alpha_next
 
         _, alphas = jax.lax.scan(fstep, alpha0, (rs[1:], rqrs[:-1]),
                                  unroll=SCAN_UNROLL)
     else:
         def fstep(alpha, r_t):
-            alpha_next = params.t_mat @ alpha + rqr @ r_t
+            alpha_next = _mv(t_mat, alpha) + _mv(rqr, r_t)
             return alpha_next, alpha_next
 
         _, alphas = jax.lax.scan(fstep, alpha0, rs[1:], unroll=SCAN_UNROLL)
     return jnp.concatenate([alpha0[None], alphas], axis=0)
 
 
+def fast_state_smoother(params: SsmParams, filt: FilterResult, observed=None):
+    """Koopman (1993) fast state smoother: E[alpha_t | y_{1:T}]."""
+    t_len = filt.v.shape[0]
+    if observed is None:
+        observed = jnp.ones((t_len,), bool)
+    return _smoother_passes(params, filt.v, filt.f, filt.k, observed)
+
+
 def smooth_states(params: SsmParams, y, observed=None):
-    filt = kalman_filter(params, y, observed)
-    return fast_state_smoother(params, filt, observed)
+    """Filter + smoother on the light path: per-step (a, P) are never
+    stored, which halves the HBM traffic of the bsts hot loop."""
+    y = jnp.asarray(y)
+    t_len = y.shape[0]
+    if observed is None:
+        observed = jnp.ones((t_len,), bool)
+    (_, _), (v, f, k, _) = _filter_core(params, y, observed, want_ap=False)
+    return _smoother_passes(params, v, f, k, observed)
 
 
 def simulate(key, params: SsmParams, t_len: int):
@@ -209,8 +251,8 @@ def simulate(key, params: SsmParams, t_len: int):
 
     def step(alpha, inp):
         k, s_t = inp
-        eta = s_t * (q_chol @ jax.random.normal(k, (q_dim,), dtype))
-        alpha_next = params.t_mat @ alpha + params.r_mat @ eta
+        eta = s_t * _mv(q_chol, jax.random.normal(k, (q_dim,), dtype))
+        alpha_next = _mv(params.t_mat, alpha) + _mv(params.r_mat, eta)
         return alpha_next, alpha_next
 
     _, alphas = jax.lax.scan(

@@ -45,18 +45,26 @@ class SdPrior:
     def draw_variance(self, key, n, sum_sq):
         """Conjugate draw of sigma^2 given n innovations with sum of
         squares sum_sq (truncated upper limit via precision lower bound)."""
+        from boom_tpu.dists.truncated import trun_gamma_lower_fast
+
         df = self.sample_size + n
         ss = self.sample_size * self.sigma_guess**2 + sum_sq
         if math.isinf(self.upper_limit):
             return dists.scaled_inv_chisq.sample(key, df, ss / df)
-        prec = dists.trun_gamma.sample(
-            key, 0.5 * df, 0.5 * ss, lo=1.0 / self.upper_limit**2)
+        # fast Wilson-Hilferty + Newton inverse-CDF (the generic
+        # trun_gamma's bisection quantile dominated the bsts sweep)
+        prec = trun_gamma_lower_fast(
+            key, 0.5 * df, 0.5 * ss, lo=1.0 / self.upper_limit**2,
+            newton_iters=8)
         return 1.0 / prec
 
 
 def _innovations(path, t_mat):
-    """eta rows: path[t+1] - T path[t], [T-1, dim]."""
-    return path[1:] - path[:-1] @ jnp.asarray(t_mat).T
+    """eta rows: path[t+1] - T path[t], [T-1, dim]. Elementwise mul-sum
+    instead of `@`: the [T, d] x [d, d] product under a chain vmap
+    otherwise lowers to an MXU-padded dot_general (see kalman._mm)."""
+    t_mat = jnp.asarray(t_mat)
+    return path[1:] - jnp.sum(t_mat * path[:-1][..., None, :], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -109,3 +109,73 @@ def test_bart_predict_out_of_sample(rng_key):
     rmse = float(jnp.sqrt(jnp.mean((pred - f_new) ** 2)))
     base = float(jnp.sqrt(jnp.mean((jnp.mean(y) - f_new) ** 2)))
     assert rmse < 0.6 * base, (rmse, base)
+
+
+def test_logit_bart_decision_boundary(rng_key):
+    """Classification BART recovers a nonlinear decision boundary
+    (reference Models/Bart/LogitBartModel.hpp:31)."""
+    from boom_tpu.inference import run_mcmc
+    from boom_tpu.models.bart import LogitBart
+
+    k1, k2 = jax.random.split(rng_key)
+    n = 600
+    x = jax.random.uniform(k1, (n, 2), minval=-2.0, maxval=2.0)
+    # nonlinear boundary: inside the unit circle -> high probability
+    eta_true = 3.0 * (1.0 - x[:, 0] ** 2 - x[:, 1] ** 2)
+    p_true = jax.nn.sigmoid(eta_true)
+    y = jnp.asarray(jax.random.uniform(k2, (n,)) < p_true, jnp.int32)
+    model = LogitBart(x=x, y=y, config=BartConfig(num_trees=40,
+                                                  max_depth=4))
+    res = run_mcmc(jax.random.key(1), model.kernel(), model.init_state,
+                   num_draws=150, num_chains=1, burn=150)
+    final = jax.tree_util.tree_map(lambda a: a[0], res.final_state)
+    draws = jax.tree_util.tree_map(lambda a: a[0], res.draws)
+    probs = jnp.mean(jax.vmap(
+        lambda st: model.predict_prob(st))(draws), 0)
+    acc = jnp.mean((probs > 0.5) == (p_true > 0.5))
+    assert float(acc) > 0.85, float(acc)
+    # calibration: mean |prob - true prob| small
+    mae = float(jnp.mean(jnp.abs(probs - p_true)))
+    assert mae < 0.18, mae
+
+
+def test_probit_bart(rng_key):
+    from boom_tpu.inference import run_mcmc
+    from boom_tpu.models.bart import ProbitBart
+
+    k1, k2 = jax.random.split(rng_key)
+    n = 500
+    x = jax.random.uniform(k1, (n, 2))
+    eta_true = 2.0 * jnp.sin(3.0 * x[:, 0]) - 1.0 + 2.0 * x[:, 1]
+    p_true = jax.scipy.stats.norm.cdf(eta_true)
+    y = jnp.asarray(jax.random.uniform(k2, (n,)) < p_true, jnp.int32)
+    model = ProbitBart(x=x, y=y, config=BartConfig(num_trees=40))
+    res = run_mcmc(jax.random.key(2), model.kernel(), model.init_state,
+                   num_draws=150, num_chains=1, burn=150)
+    draws = jax.tree_util.tree_map(lambda a: a[0], res.draws)
+    probs = jnp.mean(jax.vmap(
+        lambda st: model.predict_prob(st))(draws), 0)
+    acc = jnp.mean((probs > 0.5) == (p_true > 0.5))
+    assert float(acc) > 0.85, float(acc)
+
+
+def test_poisson_bart(rng_key):
+    from boom_tpu.inference import run_mcmc
+    from boom_tpu.models.bart import PoissonBart
+
+    k1, k2 = jax.random.split(rng_key)
+    n = 500
+    x = jax.random.uniform(k1, (n, 2))
+    log_rate = 1.0 + jnp.sin(4.0 * x[:, 0]) + x[:, 1]
+    y = jax.random.poisson(k2, jnp.exp(log_rate))
+    model = PoissonBart(x=x, y=y, config=BartConfig(num_trees=40))
+    res = run_mcmc(jax.random.key(3), model.kernel(), model.init_state,
+                   num_draws=150, num_chains=1, burn=150)
+    draws = jax.tree_util.tree_map(lambda a: a[0], res.draws)
+    rate = jnp.mean(jax.vmap(
+        lambda st: model.predict_rate(st))(draws), 0)
+    corr = jnp.corrcoef(jnp.stack([rate, jnp.exp(log_rate)]))[0, 1]
+    assert float(corr) > 0.8, float(corr)
+    rel = float(jnp.mean(jnp.abs(rate - jnp.exp(log_rate))
+                         / jnp.exp(log_rate)))
+    assert rel < 0.5, rel

@@ -32,6 +32,15 @@ from boom_tpu.models.glm.adaptive import (
     BigAssSpikeSlab,
     screen_candidates,
 )
+from boom_tpu.models.glm.breadth import (
+    BinomialLogitSpikeSlab,
+    GammaRegression,
+    LoglinearModel,
+    MultilevelMultinomial,
+    ZeroInflatedLognormalRegression,
+    ZeroInflatedPoissonRegression,
+    loglinear_design,
+)
 from boom_tpu.models.glm.mvreg import MultivariateRegression, MvRegSuf
 from boom_tpu.models.glm.ordinal import OrdinalLogitSpikeSlab
 from boom_tpu.models.glm.quantile import QuantileSpikeSlab
@@ -51,4 +60,7 @@ __all__ = [
     "AdaptiveSpikeSlabRegression", "BigAssSpikeSlab",
     "screen_candidates",
     "MultinomialLogitSpikeSlab", "impute_mnl_utilities",
+    "GammaRegression", "ZeroInflatedLognormalRegression",
+    "ZeroInflatedPoissonRegression", "BinomialLogitSpikeSlab",
+    "LoglinearModel", "MultilevelMultinomial", "loglinear_design",
 ]

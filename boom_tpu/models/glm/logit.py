@@ -75,6 +75,12 @@ class LogitSpikeSlab:
         return {"gamma": gamma, "beta": jnp.zeros(p, self.x.dtype)}
 
     def kernel(self):
+        return self.kernel_for_response(self.y)
+
+    def kernel_for_response(self, y):
+        """Same DA sweep against a caller-supplied 0/1 response (used by
+        composite models whose binary response is itself latent, e.g.
+        the zero-inflated at-risk indicator)."""
         w_tab = jnp.asarray(tables.LOGISTIC_WEIGHTS)
         s_tab = jnp.asarray(tables.LOGISTIC_SDS)
         mu_tab = jnp.zeros_like(s_tab)
@@ -82,7 +88,7 @@ class LogitSpikeSlab:
         def sweep(key, state):
             kz, km, kg, kb = jax.random.split(key, 4)
             eta = self.x @ state["beta"]
-            z = impute_logit_latent(kz, eta, self.y)
+            z = impute_logit_latent(kz, eta, y)
             comp = sample_mixture_indicator(
                 km, z - eta, w_tab, mu_tab, s_tab)
             w = 1.0 / (s_tab[comp] ** 2)

@@ -114,11 +114,22 @@ class PoissonSpikeSlab:
         return {"gamma": gamma, "beta": jnp.zeros(p, self.x.dtype)}
 
     def kernel(self):
+        base = self.kernel_weighted()
+
+        def sweep(key, state):
+            return base(key, state, None)
+
+        return sweep
+
+    def kernel_weighted(self):
+        """DA sweep taking per-observation weights (0/1 masks for
+        composite models, e.g. zero-inflated Poisson's at-risk rows;
+        None = all rows)."""
         gw = jnp.asarray(tables.GUMBEL_WEIGHTS)
         gm = jnp.asarray(tables.GUMBEL_MEANS)
         gs = jnp.asarray(tables.GUMBEL_SDS)
 
-        def sweep(key, state):
+        def sweep(key, state, obs_weight=None):
             kz, km1, km2, kg, kb = jax.random.split(key, 5)
             eta = self.x @ state["beta"]
             log_lam = eta + self.log_exposure
@@ -139,6 +150,9 @@ class PoissonSpikeSlab:
             s2 = jnp.take_along_axis(s_tab, c2[..., None], -1)[..., 0]
             z2 = nlt2 - self.log_exposure - m2
             w2 = jnp.where(self.y > 0, 1.0 / s2**2, 0.0)
+            if obs_weight is not None:
+                w1 = w1 * obs_weight
+                w2 = w2 * obs_weight
 
             suf = WeightedRegSuf.from_data(self.x, z1, w1).combine(
                 WeightedRegSuf.from_data(self.x, z2, w2))

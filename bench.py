@@ -67,15 +67,20 @@ def bench_bsts_llt():
     from boom_tpu.inference import effective_sample_size, run_mcmc
     from boom_tpu.statespace import Bsts, LocalLinearTrend
 
-    # 8192 chains saturates the chip before the ~12k occupancy cliff;
-    # 16 interweaving passes cost ~+10% wall and ~3x the ESS of the slow
-    # slope-variance component (see Bsts.asis_passes)
-    t_len, chains, draws, burn = 500, 8192, 150, 30
+    # 8192 chains saturates the chip before the ~12k occupancy cliff.
+    # Data include genuine slope innovations so every monitored variance
+    # posterior is interior. marginal_sigma_slice integrates the state
+    # path out of the variance updates (slope-variance ESS 13k -> 169k
+    # per 150 draws), which is what lets the run pass the R-hat gate at
+    # a short draw budget.
+    t_len, chains, draws, burn = 500, 8192, 300, 200
     key = jax.random.key(4207)
-    k1, k2, k_run = jax.random.split(key, 3)
-    level = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,))) + 5.0
+    k1, k2, k3, k_run = jax.random.split(key, 4)
+    slope = jnp.cumsum(0.02 * jax.random.normal(k3, (t_len,)))
+    level = jnp.cumsum(slope + 0.3 * jax.random.normal(k1, (t_len,))) + 5.0
     y = level + 0.5 * jax.random.normal(k2, (t_len,))
-    model = Bsts(y=y, blocks=[LocalLinearTrend.default(y)])
+    model = Bsts(y=y, blocks=[LocalLinearTrend.default(y)],
+                 marginal_sigma_slice=True)
 
     fit = jax.jit(lambda k: run_mcmc(
         k, model.kernel(), model.init_state, draws, num_chains=chains,

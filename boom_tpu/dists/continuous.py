@@ -701,8 +701,9 @@ class gig:
         Gaussian route: GIG(-1/2, chi, psi) = IG(sqrt(chi/psi), chi) and
         GIG(1/2, chi, psi) = 1 / GIG(-1/2, psi, chi) — these are the
         cases hit by the quantile-regression and inverse-Gaussian-mixture
-        augmentations. Other lam fall back to the fixed-trip rejection
-        sampler (approximate; mode-centered envelope)."""
+        augmentations. Other lam use an EXACT log-concave rejection in
+        log space (validated against quadrature moments across extreme
+        parameter regimes)."""
         if isinstance(lam, (int, float)) and abs(abs(lam) - 0.5) < 1e-12:
             if lam < 0:
                 fs, (chi_, psi_) = _bcast(shape, chi, psi)
@@ -712,36 +713,85 @@ class gig:
             mu = jnp.sqrt(psi_ / chi_)
             w = inverse_gaussian.sample(key, mu, psi_)
             return 1.0 / w
+        # General lambda: EXACT rejection in log space (Devroye 2014 /
+        # the universal log-concave construction). Reduce to the
+        # standardized form: X = sqrt(chi/psi) Y with Y ~ GIG(lam, w, w),
+        # w = sqrt(chi psi); t = log Y has the strictly log-concave
+        # density prop-to exp(lam t - w cosh t), mode arcsinh(lam/w).
+        # Envelope: flat between the two points where the centered
+        # log-density drops to -1, linear (exponential) tangents beyond
+        # — acceptance >= ~1/3 uniformly, so 32 masked trips make the
+        # residual miss probability < 1e-5 (miss falls back to the
+        # mode, which is also where the flat region centers).
         fs, (lam_, chi_, psi_) = _bcast(shape, lam, chi, psi)
         dtype = _float_dtype(lam_, chi_, psi_)
         lam_, chi_, psi_ = (v.astype(dtype) for v in (lam_, chi_, psi_))
-        # mode of GIG
-        m = (
-            jnp.sqrt((lam_ - 1.0) ** 2 + chi_ * psi_) + (lam_ - 1.0)
-        ) / psi_
-        m = jnp.maximum(m, 1e-10)
+        w = jnp.sqrt(jnp.maximum(chi_ * psi_, 1e-24))
+        scale = jnp.sqrt(chi_ / psi_)
+        t_m = jnp.arcsinh(lam_ / w)
 
-        def logf(x):
-            return (lam_ - 1.0) * jnp.log(x) - 0.5 * (chi_ / x + psi_ * x)
+        def h(t):
+            # centered log-density of t (mode at 0, h(0) = 0)
+            return (lam_ * (t + t_m) - w * jnp.cosh(t + t_m)
+                    - (lam_ * t_m - w * jnp.cosh(t_m)))
 
-        logfm = logf(m)
-        # t-walk style: envelope = scaled t distribution around mode in log-x
-        sigma = jnp.sqrt(1.0 / (
-            0.5 * chi_ / m + 0.5 * psi_ * m + jnp.abs(lam_ - 1.0) + 1.0))
+        def solve_drop(sign):
+            """t (of the given sign) with h(t) = -1, by fixed bisection
+            (h is monotone on each side of the mode)."""
+            lo = jnp.zeros(fs, dtype)
+            hi = jnp.full(fs, sign * 2.0, dtype)
+            # geometric bracket growth: h(hi) <= -1
+            for _ in range(40):
+                need = h(hi) > -1.0
+                hi = jnp.where(need, hi * 1.5, hi)
+            for _ in range(50):
+                mid = 0.5 * (lo + hi)
+                low_side = h(mid) > -1.0
+                lo = jnp.where(low_side, mid, lo)
+                hi = jnp.where(low_side, hi, mid)
+            return hi
+
+        t_r = solve_drop(1.0)
+        t_l = solve_drop(-1.0)
+        # tangent slopes at the drop points (h' = lam - w sinh(t + t_m))
+        dr = jnp.abs(lam_ - w * jnp.sinh(t_r + t_m))
+        dl = jnp.abs(lam_ - w * jnp.sinh(t_l + t_m))
+        dr = jnp.maximum(dr, 1e-10)
+        dl = jnp.maximum(dl, 1e-10)
+        # mixture masses: flat center exp(0)*(t_r - t_l), tails e^-1/slope
+        m_c = t_r - t_l
+        m_r = jnp.exp(-1.0) / dr
+        m_l = jnp.exp(-1.0) / dl
+        total = m_c + m_r + m_l
+
+        def envelope_draw(k):
+            k1, k2 = jax.random.split(k)
+            u = jax.random.uniform(k1, fs, dtype) * total
+            e = jax.random.exponential(k2, fs, dtype)
+            uc = jax.random.uniform(jax.random.fold_in(k1, 1), fs, dtype)
+            t_flat = t_l + uc * m_c
+            t_right = t_r + e / dr
+            t_left = t_l - e / dl
+            t = jnp.where(u < m_c, t_flat,
+                          jnp.where(u < m_c + m_r, t_right, t_left))
+            log_env = jnp.where(
+                u < m_c, 0.0,
+                jnp.where(u < m_c + m_r,
+                          -1.0 - dr * (t - t_r),
+                          -1.0 - dl * (t_l - t)))
+            return t, log_env
 
         def body(carry, k):
-            x, accepted = carry
+            t, accepted = carry
             k1, k2 = jax.random.split(k)
-            z = jax.random.t(k1, jnp.asarray(3.0, dtype), fs)
-            prop = m * jnp.exp(sigma * z)
-            log_q = student_t.logpdf(z, 3.0) - jnp.log(sigma)  # density in log-x
-            # target density in log-x space: f(x) * x
-            log_ratio = logf(prop) + jnp.log(prop) - (logfm + jnp.log(m)) - log_q \
-                + student_t.logpdf(0.0, 3.0) - jnp.log(sigma)
-            u = jax.random.uniform(k2, fs, dtype)
-            take = (~accepted) & (jnp.log(u) < log_ratio)
-            return (jnp.where(take, prop, x), accepted | take), None
+            prop, log_env = envelope_draw(k1)
+            u = jax.random.uniform(k2, fs, dtype,
+                                   minval=jnp.finfo(dtype).tiny)
+            take = (~accepted) & (jnp.log(u) < h(prop) - log_env)
+            return (jnp.where(take, prop, t), accepted | take), None
 
         keys = jax.random.split(key, nrej)
-        (x, acc), _ = jax.lax.scan(body, (m, jnp.zeros(fs, bool)), keys)
-        return jnp.where(acc, x, m)
+        (t, acc), _ = jax.lax.scan(
+            body, (jnp.zeros(fs, dtype), jnp.zeros(fs, bool)), keys)
+        t = jnp.where(acc, t, 0.0)
+        return scale * jnp.exp(t + t_m)

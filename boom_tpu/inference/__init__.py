@@ -21,7 +21,8 @@ from boom_tpu.inference.diagnostics import (
     rhat,
     summary,
 )
-from boom_tpu.inference.driver import McmcResult, run_chain, run_mcmc
+from boom_tpu.inference.driver import (McmcResult, run_chain, run_mcmc,
+                                        run_mcmc_chunked)
 from boom_tpu.inference.state import Kernel, compose, on_site, repeat
 
 __all__ = [
@@ -29,6 +30,6 @@ __all__ = [
     "accounting", "checkpoint",
     "rhat", "ess", "potential_scale_reduction", "effective_sample_size",
     "summary",
-    "run_mcmc", "run_chain", "McmcResult",
+    "run_mcmc", "run_chain", "run_mcmc_chunked", "McmcResult",
     "Kernel", "compose", "repeat", "on_site",
 ]

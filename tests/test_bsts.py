@@ -142,3 +142,33 @@ def test_bsts_ar_block(rng_key):
                    extract=lambda s: s["blocks"]["ar1"]["phi"])
     phi = np.asarray(res.draws).reshape(-1)
     assert testing.check_mcmc_vector(phi, 0.8, confidence=0.98)
+
+
+def test_marginal_sigma_slice_preserves_posterior(rng_key):
+    """The marginal variance slice composes with the conditional sweep
+    without changing the stationary distribution: posteriors with and
+    without the move must agree within MC error."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    t_len = 300
+    slope = jnp.cumsum(0.02 * jax.random.normal(k3, (t_len,)))
+    lvl = jnp.cumsum(slope + 0.25 * jax.random.normal(k1, (t_len,)))
+    y = lvl + 0.5 * jax.random.normal(k2, (t_len,))
+
+    results = {}
+    for use_slice in (False, True):
+        model = Bsts(y=y, blocks=[LocalLinearTrend.default(y)],
+                     marginal_sigma_slice=use_slice)
+        res = run_mcmc(jax.random.key(11), model.kernel(),
+                       model.init_state, num_draws=400, num_chains=4,
+                       burn=400)
+        results[use_slice] = {
+            "so": float(jnp.mean(res.draws["sigsq_obs"])),
+            "lvl": float(jnp.mean(jnp.sqrt(
+                res.draws["blocks"]["trend"]["sigma_level_sq"]))),
+            "slp": float(jnp.mean(jnp.sqrt(
+                res.draws["blocks"]["trend"]["sigma_slope_sq"]))),
+        }
+    a, b = results[False], results[True]
+    assert abs(a["so"] - b["so"]) < 0.05, (a, b)
+    assert abs(a["lvl"] - b["lvl"]) < 0.06, (a, b)
+    assert abs(a["slp"] - b["slp"]) < 0.02, (a, b)

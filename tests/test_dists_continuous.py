@@ -111,3 +111,29 @@ def test_broadcasting():
     assert dists.normal.logpdf(x, mu, sd).shape == (3, 4)
     key = jax.random.key(1)
     assert dists.normal.sample(key, mu, sd, shape=(7,)).shape == (7, 3, 4)
+
+
+def test_gig_general_lambda_exact(rng_key):
+    """General-lambda GIG via the log-concave rejection must match
+    quadrature moments (the lam = +-1/2 cases route through exact
+    inverse-Gaussian and are covered elsewhere)."""
+    from scipy import integrate as sint
+
+    from boom_tpu.dists.continuous import gig
+
+    def true_moments(lam, chi, psi):
+        f = lambda x: x ** (lam - 1) * np.exp(-0.5 * (chi / x + psi * x))
+        z, _ = sint.quad(f, 0, np.inf, limit=400)
+        m1, _ = sint.quad(lambda x: x * f(x), 0, np.inf, limit=400)
+        m2, _ = sint.quad(lambda x: x * x * f(x), 0, np.inf, limit=400)
+        return m1 / z, np.sqrt(m2 / z - (m1 / z) ** 2)
+
+    n = 200000
+    for i, (lam, chi, psi) in enumerate(
+            [(2.3, 1.0, 2.0), (-1.7, 3.0, 0.5), (0.1, 0.2, 0.3),
+             (5.0, 10.0, 0.1)]):
+        x = np.asarray(gig.sample(jax.random.fold_in(rng_key, i),
+                                  jnp.full((n,), lam), chi, psi))
+        m, s = true_moments(lam, chi, psi)
+        assert abs(x.mean() - m) / m < 0.01, (lam, chi, psi, x.mean(), m)
+        assert abs(x.std() - s) / s < 0.03, (lam, chi, psi, x.std(), s)

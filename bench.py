@@ -73,14 +73,14 @@ def bench_bsts_llt():
     # path out of the variance updates (slope-variance ESS 13k -> 169k
     # per 150 draws), which is what lets the run pass the R-hat gate at
     # a short draw budget.
-    t_len, chains, draws, burn = 500, 8192, 300, 200
+    t_len, chains, draws, burn = 500, 4096, 250, 300
     key = jax.random.key(4207)
     k1, k2, k3, k_run = jax.random.split(key, 4)
     slope = jnp.cumsum(0.02 * jax.random.normal(k3, (t_len,)))
     level = jnp.cumsum(slope + 0.3 * jax.random.normal(k1, (t_len,))) + 5.0
     y = level + 0.5 * jax.random.normal(k2, (t_len,))
     model = Bsts(y=y, blocks=[LocalLinearTrend.default(y)],
-                 marginal_sigma_slice=True)
+                 marginal_sigma_slice=True, marginal_slice_random_dirs=2)
 
     fit = jax.jit(lambda k: run_mcmc(
         k, model.kernel(), model.init_state, draws, num_chains=chains,

@@ -97,6 +97,11 @@ class Bsts:
     marginal_sigma_slice: bool = False
     marginal_slice_expand: int = 3
     marginal_slice_shrink: int = 8
+    # extra slice moves along RANDOM directions in the joint log-
+    # variance space: coordinate slices zigzag when two variances are
+    # correlated in the marginal (level vs observation noise is the
+    # classic pair); a random-direction pass cuts across the ridge
+    marginal_slice_random_dirs: int = 1
 
     def __post_init__(self):
         if self.obs_prior is None and self.reg_prior is None:
@@ -353,12 +358,85 @@ class Bsts:
                 expand_iters=self.marginal_slice_expand,
                 shrink_iters=self.marginal_slice_shrink)
             out = set_param(out, path, jnp.exp(u_new))
+
+        # random-direction passes over the joint log-variance vector
+        for r in range(self.marginal_slice_random_dirs):
+            rk = jax.random.fold_in(key, 5000 + r)
+            kd, ksl = jax.random.split(rk)
+            u_vec = jnp.stack([
+                jnp.log(out["sigsq_obs"] if path[0] == "sigsq_obs"
+                        else out["blocks"][path[0]][path[1]])
+                for path, _ in groups])
+            direction = jax.random.normal(kd, (len(groups),))
+            direction = direction / jnp.sqrt(jnp.sum(direction**2))
+
+            def set_vec(st, u_vec):
+                for (path, _prior), u in zip(groups, u_vec):
+                    st = set_param(st, path, jnp.exp(u))
+                return st
+
+            def logp_dir(a, u_vec=u_vec, direction=direction):
+                u = u_vec + a * direction
+                st = set_vec(out, u)
+                ll = kalman_filter(self.ssm_params(st), y_adj).loglik
+                lp = ll
+                for (path, prior), ui in zip(groups, u):
+                    lp = lp + sic_logp(jnp.exp(ui), prior) + ui
+                return lp
+
+            a_new = slice_step(
+                ksl, jnp.zeros(()), logp_dir, width=1.0,
+                expand_iters=self.marginal_slice_expand,
+                shrink_iters=self.marginal_slice_shrink)
+            out = set_vec(out, u_vec + a_new * direction)
         return out
 
     # -- ASIS interweaving ---------------------------------------------------
     def _asis_pass(self, key, state, y_adj):
         return asis_redraw(key, self.blocks, self.ssm_params(state), state,
                            y_adj, state["sigsq_obs"])
+
+    def mle(self, state=None, max_iters: int = 200):
+        """Maximum-likelihood variance estimates via BFGS on the exact
+        marginal log likelihood (autodiff through the Kalman filter) —
+        the reference's secondary inference mode (ModelTypes.hpp:138
+        MLE_Model; StateSpaceModelBase.cpp:563 average_over_latent_data
+        drives its gradient; here the filter is simply differentiated).
+        Optimizes the log of every variance addressed by _sigma_groups;
+        regression coefficients (if any) are held at `state`'s values.
+        Returns (state_with_mle_variances, loglik)."""
+        from boom_tpu import numopt
+
+        if state is None:
+            state = self.init_state(jax.random.key(0))
+        groups = self._sigma_groups()
+        assert groups, "no variance parameters to optimize"
+
+        def set_all(st, us):
+            out = dict(st)
+            out["blocks"] = {k: dict(v) for k, v in st["blocks"].items()}
+            for (path, _prior), u in zip(groups, us):
+                if path[0] == "sigsq_obs":
+                    out["sigsq_obs"] = jnp.exp(u)
+                else:
+                    out["blocks"][path[0]][path[1]] = jnp.exp(u)
+            return out
+
+        y_adj = self.y
+        if self.predictors is not None:
+            y_adj = self.y - self.predictors @ state["beta"]
+
+        def neg_loglik(us):
+            st = set_all(state, us)
+            return -kalman_filter(self.ssm_params(st), y_adj).loglik
+
+        u0 = jnp.stack([
+            jnp.log(state["sigsq_obs"] if path[0] == "sigsq_obs"
+                    else state["blocks"][path[0]][path[1]])
+            for path, _ in groups])
+        res = numopt.bfgs(neg_loglik, u0, max_iters=max_iters)
+        st = set_all(state, res.x)
+        return st, -res.value
 
     # -- likelihood / contributions -----------------------------------------
     def log_lik(self, state):

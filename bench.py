@@ -102,7 +102,42 @@ def bench_bsts_llt():
     return float(np.min(ess)) / elapsed, elapsed, ess
 
 
+def bench_pallas_smoother():
+    """Temporal-parallelism evidence line (stderr): the in-VMEM Pallas
+    scan smoother vs the sequential scan on a long single series with 8
+    chains — the reference's `bsts(y, niter)` regime. Not part of the
+    headline metric (different unit)."""
+    from boom_tpu.statespace.kalman import SsmParams, simulation_smoother
+    from boom_tpu.statespace.pallas_scan import pallas_simulation_smoother
+
+    d, t_len = 2, 4096
+    params = SsmParams(
+        z=jnp.zeros((d,)).at[0].set(1.0),
+        t_mat=jnp.eye(d).at[0, 1].set(1.0),
+        r_mat=jnp.eye(d), q_mat=jnp.diag(jnp.full((d,), 0.1)),
+        h=jnp.asarray(0.5), a0=jnp.zeros((d,)), p0=jnp.eye(d) * 2.0)
+    y = jax.random.normal(jax.random.key(0), (t_len,))
+    ks = jax.random.split(jax.random.key(1), 8)
+
+    def timed(smoother):
+        fn = jax.jit(lambda k: jax.vmap(
+            lambda kk: smoother(kk, params, y))(k))
+        jax.block_until_ready(fn(ks))
+        t0 = time.time()
+        for _ in range(20):
+            out = fn(ks)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / 20 * 1e3
+
+    t_seq = timed(simulation_smoother)
+    t_pal = timed(pallas_simulation_smoother)
+    print(f"# pallas_smoother: LLT T={t_len} 8 chains: sequential "
+          f"{t_seq:.2f}ms, pallas {t_pal:.2f}ms -> {t_seq / t_pal:.1f}x",
+          file=sys.stderr)
+
+
 def main():
+    bench_pallas_smoother()
     ss_rate, ss_t, ss_ess = bench_spike_slab()
     print(f"# spike_slab: {ss_rate:.1f} min-ESS/s (wall {ss_t:.2f}s, "
           f"ess min {ss_ess.min():.0f} med {np.median(ss_ess):.0f})",

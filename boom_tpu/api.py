@@ -336,6 +336,7 @@ class BstsModel:
                 prior_information_weight=(
                     0.01 if family != "gaussian" else 1.0))
         if family == "gaussian":
+            model_kw.setdefault("chains_hint", num_chains)
             self._model = Bsts(y=y, blocks=blocks, predictors=predictors,
                                reg_prior=reg_prior, **model_kw)
         else:

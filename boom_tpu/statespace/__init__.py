@@ -18,6 +18,16 @@ from boom_tpu.statespace.multivariate import (
     mv_fast_state_smoother,
     mv_simulation_smoother,
 )
+from boom_tpu.statespace.pallas_scan import (
+    pallas_filter_moments,
+    pallas_simulation_smoother,
+    pallas_smooth_states,
+)
+from boom_tpu.statespace.parallel_kalman import (
+    parallel_filter_moments,
+    parallel_simulation_smoother,
+    parallel_smooth_states,
+)
 from boom_tpu.statespace.kalman import (
     FilterResult,
     SsmParams,
@@ -52,6 +62,9 @@ __all__ = [
     "mv_fast_state_smoother", "mv_simulation_smoother",
     "SsmParams", "FilterResult", "kalman_filter", "fast_state_smoother",
     "smooth_states", "simulate", "simulation_smoother",
+    "pallas_filter_moments", "pallas_smooth_states",
+    "pallas_simulation_smoother", "parallel_filter_moments",
+    "parallel_smooth_states", "parallel_simulation_smoother",
     "SdPrior", "LocalLevel", "LocalLinearTrend", "Seasonal", "Trig",
     "ArState", "StaticIntercept", "SemilocalLinearTrend",
     "DynamicRegression", "RandomWalkHoliday", "StudentLocalLinearTrend",

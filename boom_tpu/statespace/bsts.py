@@ -44,6 +44,7 @@ from boom_tpu.statespace.kalman import (
     kalman_filter,
     simulation_smoother,
 )
+from boom_tpu.statespace.pallas_scan import pallas_simulation_smoother
 from boom_tpu.statespace.parallel_kalman import parallel_simulation_smoother
 from boom_tpu.statespace.state_models import SdPrior
 
@@ -70,12 +71,23 @@ class Bsts:
     predictors: jax.Array | None = None
     reg_prior: SpikeSlabPrior | None = None
     reg_max_flips: int | None = None
-    # associative-scan (O(log T) depth) simulation smoother. Default off:
-    # on current single-chip benchmarks the fused sequential scan wins
-    # (the unrolled log-T stages pay more per-kernel overhead than the
-    # scan loop); flip on for very long series / future multi-chip
-    # time-sharding.
-    parallel_smoother: bool = False
+    # Temporal-parallel (O(log T) depth) simulation smoother dispatch:
+    #   "auto"   — use the in-VMEM Pallas Hillis-Steele scan
+    #              (pallas_scan.py) when it wins: static system, small
+    #              state dim, long series, few chains (measured 2.7-19x
+    #              over the sequential scan at T=512-4096 on TPU v5e for
+    #              1-8 chains). Falls back to the sequential scan in the
+    #              many-chain regime (e.g. the 4096-chain bench) where
+    #              batched VPU work already saturates the chip and any
+    #              parallel-scan formulation does >2x the FLOPs.
+    #   "pallas" — force the Pallas kernel (static systems only).
+    #   True     — force the XLA associative_scan (parallel_kalman.py).
+    #   False    — force the sequential scan.
+    parallel_smoother: bool | str = "auto"
+    # expected number of vmapped chains (run_mcmc num_chains); only used
+    # by the "auto" smoother dispatch — vmap batching is invisible at
+    # trace time, so the caller states it
+    chains_hint: int = 1
     # ancillarity-sufficiency interweaving (ASIS / Yu-Meng 2011,
     # Fruhwirth-Schnatter-Wagner non-centered step) for state variances —
     # breaks the sigma-state mixing pathology the centered sampler (and
@@ -201,11 +213,22 @@ class Bsts:
         # see data-scale innovations (an all-zero path is an absorbing
         # trap: zero innovations collapse the variance draws)
         params0 = self.ssm_params(state)
-        use_parallel = self.parallel_smoother and not params0.time_varying
-        smoother = (parallel_simulation_smoother if use_parallel
-                    else simulation_smoother)
-        state["alpha"] = smoother(keys[2], params0, self.y)
+        state["alpha"] = self._smoother(params0)(keys[2], params0, self.y)
         return state
+
+    def _smoother(self, params):
+        """Simulation-smoother dispatch (see parallel_smoother docs)."""
+        mode = self.parallel_smoother
+        if params.time_varying or mode is False:
+            return simulation_smoother
+        if mode == "pallas":
+            return pallas_simulation_smoother
+        if mode == "auto":
+            if (jax.default_backend() == "tpu" and self.state_dim <= 6
+                    and self.y.shape[0] >= 512 and self.chains_hint <= 32):
+                return pallas_simulation_smoother
+            return simulation_smoother
+        return parallel_simulation_smoother
 
     # -- Gibbs sweep (StateSpacePosteriorSampler::draw analog) --------------
     def kernel(self):
@@ -279,11 +302,8 @@ class Bsts:
             # 3. impute the state (Durbin-Koopman simulation smoother)
             y_adj = y_minus_reg
             params = self.ssm_params(out)
-            # the associative-scan smoother assumes a static system
-            use_parallel = self.parallel_smoother and not params.time_varying
-            smoother = (parallel_simulation_smoother
-                        if use_parallel else simulation_smoother)
-            out["alpha"] = smoother(k_state, params, y_adj)
+            # temporal-parallel smoothers assume a static system
+            out["alpha"] = self._smoother(params)(k_state, params, y_adj)
 
             # 4. ASIS interweaving: non-centered re-draw of state sigmas
             if self.asis:

@@ -17,12 +17,28 @@ scan), and the conditional mean comes from the parallel filter+smoother.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from boom_tpu.statespace.kalman import SsmParams
+
+
+def _hp(fn):
+    """Trace fn under full-precision matmuls. On TPU, `@`/einsum default
+    to bf16 MXU passes — an 8e-3 relative error that downstream
+    innovation differencing amplifies catastrophically (states ~1e3,
+    innovations ~1e-2 for a bsts trend). The [d, d] systems here are tiny;
+    full precision costs nothing measurable."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def _solve_small(a, b):
@@ -55,6 +71,7 @@ class FilterElement(NamedTuple):
     j: jax.Array  # [T, d, d]
 
 
+@_hp
 def _filter_elements(params: SsmParams, y, observed):
     """Build the per-step elements. Step 1 conditions on the prior
     N(a0, P0); missing steps are pure predictions."""
@@ -126,6 +143,7 @@ def _combine_filter(e1: FilterElement, e2: FilterElement) -> FilterElement:
     return FilterElement(a=a, b=b, c=c, eta=eta, j=jmat)
 
 
+@_hp
 def parallel_filter_moments(params: SsmParams, y, observed=None):
     """Filtered means/covs for all t in O(log T) depth.
 
@@ -153,9 +171,9 @@ def _combine_smooth(later: SmoothElement, earlier: SmoothElement
         g=earlier.g + jnp.einsum("...ij,...j->...i", earlier.e, later.g))
 
 
-def parallel_smooth_means(params: SsmParams, fm, fp):
-    """Smoothed means E[alpha_t | y_{1:T}] from filtered moments, in
-    O(log T) depth (RTS gains + suffix associative scan)."""
+@_hp
+def _smooth_elements(params: SsmParams, fm, fp):
+    """RTS suffix-scan elements (E_k, g_k) from filtered moments."""
     f_mat = params.t_mat
     q = params.rqr
     d = f_mat.shape[0]
@@ -172,20 +190,29 @@ def parallel_smooth_means(params: SsmParams, fm, fp):
     e_all = jnp.concatenate(
         [e_all, jnp.zeros((1, d, d), fm.dtype)], axis=0)
     g_all = jnp.concatenate([g_all, fm[-1:]], axis=0)
+    return e_all, g_all
+
+
+@_hp
+def parallel_smooth_means(params: SsmParams, fm, fp):
+    """Smoothed means E[alpha_t | y_{1:T}] from filtered moments, in
+    O(log T) depth (RTS gains + suffix associative scan)."""
+    e_all, g_all = _smooth_elements(params, fm, fp)
     out = jax.lax.associative_scan(
         _combine_smooth, SmoothElement(e=e_all, g=g_all), reverse=True)
     return out.g
 
 
+@_hp
 def parallel_smooth_states(params: SsmParams, y, observed=None):
     fm, fp = parallel_filter_moments(params, y, observed)
     return parallel_smooth_means(params, fm, fp)
 
 
-def parallel_simulate(key, params: SsmParams, t_len: int):
-    """Unconditional draw of (alpha, y): the state recursion
-    alpha_{t+1} = T alpha_t + R eta_t is a linear recurrence — an
-    associative scan over (A, b) pairs."""
+@_hp
+def _simulate_elements(key, params: SsmParams, t_len: int):
+    """(A_k, b_k) elements of the linear state recurrence, plus the
+    observation-noise key for the caller."""
     k0, ka, ke = jax.random.split(key, 3)
     d = params.z.shape[0]
     dtype = params.z.dtype
@@ -204,6 +231,16 @@ def parallel_simulate(key, params: SsmParams, t_len: int):
     a_elems = jnp.broadcast_to(params.t_mat, (t_len, d, d))
     a_elems = a_elems.at[0].set(jnp.zeros((d, d), dtype))
     b_elems = jnp.concatenate([alpha1[None], w], axis=0)
+    return a_elems, b_elems, ke
+
+
+@_hp
+def parallel_simulate(key, params: SsmParams, t_len: int):
+    """Unconditional draw of (alpha, y): the state recursion
+    alpha_{t+1} = T alpha_t + R eta_t is a linear recurrence — an
+    associative scan over (A, b) pairs."""
+    dtype = params.z.dtype
+    a_elems, b_elems, ke = _simulate_elements(key, params, t_len)
 
     def comb(x, z2):
         a1, b1 = x
@@ -216,6 +253,7 @@ def parallel_simulate(key, params: SsmParams, t_len: int):
     return alphas, y
 
 
+@_hp
 def parallel_simulation_smoother(key, params: SsmParams, y, observed=None):
     """Durbin-Koopman simulation smoother with O(log T) sequential depth
     (drop-in for kalman.simulation_smoother)."""

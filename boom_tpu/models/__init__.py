@@ -1,7 +1,8 @@
 """Model zoo (reference Models/ layer, SURVEY.md §2.6)."""
 
 from boom_tpu.models import conjugate, glm
-from boom_tpu.models.bandits import BinomialBandit, LogitBandit
+from boom_tpu.models.bandits import (BinomialBandit, LinearBandit,
+                                     LogitBandit)
 from boom_tpu.models.bart import (BartConfig, GaussianBart, LogitBart,
                                   PoissonBart, ProbitBart)
 from boom_tpu.models.beta_binomial import BetaBinomialModel
@@ -13,7 +14,7 @@ from boom_tpu.models.factor import (
     MultinomialFactorModel,
     PoissonFactorModel,
 )
-from boom_tpu.models.gp import GpRegression
+from boom_tpu.models.gp import GpRegression, HierarchicalGpRegression
 from boom_tpu.models.graphical import DiscreteBayesNet, Node
 from boom_tpu.models.hierarchical import (
     HierarchicalGamma,
@@ -27,9 +28,19 @@ from boom_tpu.models.markov import MarkovModel
 from boom_tpu.models.mixtures import GaussianMixtureModel
 from boom_tpu.models.nnet import FeedForwardRegression
 from boom_tpu.models.point_process import (
+    CosinePoissonProcess,
     HomogeneousPoissonProcess,
     MarkovModulatedPoissonProcess,
+    PoissonClusterProcess,
     WeeklyCyclePoissonProcess,
+)
+from boom_tpu.models.scalar_zoo import (
+    Lognormal,
+    MatrixNormal,
+    Mvt,
+    ProductDirichlet,
+    TruncatedGamma,
+    UniformShrinkage,
 )
 from boom_tpu.models.timeseries import ArmaModel, ArModel, NonzeroMeanAr1
 from boom_tpu.models.zero_inflated import (
@@ -44,14 +55,18 @@ __all__ = [
     "DpGaussianMixture", "DpMvnMixture",
     "MarkovModel", "ZeroInflatedPoisson", "ZeroInflatedLognormal",
     "ZeroInflatedGamma",
-    "BinomialBandit", "LogitBandit",
+    "BinomialBandit", "LogitBandit", "LinearBandit",
     "HierarchicalGaussian", "HierarchicalPoisson", "HierarchicalGamma",
-    "GpRegression", "GaussianBart", "BartConfig", "LogitBart",
+    "GpRegression", "HierarchicalGpRegression",
+    "GaussianBart", "BartConfig", "LogitBart",
     "ProbitBart", "PoissonBart",
     "PoissonFactorModel", "MultinomialFactorModel",
     "TwoPl", "PartialCredit",
     "HomogeneousPoissonProcess", "WeeklyCyclePoissonProcess",
-    "MarkovModulatedPoissonProcess",
+    "MarkovModulatedPoissonProcess", "CosinePoissonProcess",
+    "PoissonClusterProcess",
+    "Lognormal", "TruncatedGamma", "UniformShrinkage",
+    "ProductDirichlet", "Mvt", "MatrixNormal",
     "DiscreteBayesNet", "Node",
     "FeedForwardRegression", "GaussianCopulaImputer",
     "ArModel", "ArmaModel", "NonzeroMeanAr1",

@@ -122,3 +122,131 @@ class LogitBandit:
         w = 1.0 / s_tab[comp] ** 2
         return {"prec": state["prec"] + w * jnp.outer(x, x),
                 "prec_mean": state["prec_mean"] + w * z * x}
+
+
+def arm_map(factor_levels):
+    """Enumerate the arms of a factorial experiment: the cartesian
+    product of factor levels, row i = the integer level of each factor
+    for arm i (reference ArmMap, Bandits/LinearBanditEncoder.hpp:26;
+    ExperimentStructure in stats/Design.hpp). factor_levels: sequence of
+    ints (#levels per factor). Returns [n_arms, n_factors] int array."""
+    grids = jnp.meshgrid(*[jnp.arange(n) for n in factor_levels],
+                         indexing="ij")
+    return jnp.stack([g.ravel() for g in grids], axis=1)
+
+
+def effects_encode(levels, num_levels):
+    """Effects (sum-to-zero) coding with the LAST level as baseline:
+    level j < L-1 -> e_j, level L-1 -> -1 vector (reference
+    EffectsEncoder, stats/Encoders.hpp, as used by ExperimentArmEncoder,
+    LinearBanditEncoder.hpp:83). levels: [n] ints -> [n, L-1]."""
+    one_hot = jax.nn.one_hot(levels, num_levels)
+    return one_hot[:, :-1] - one_hot[:, -1:]
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearBandit:
+    """Linear (Gaussian-reward) bandit over a factorial experiment
+    (reference Bandits/LinearBanditEncoder.hpp:137 + the linear bandit
+    workflow in Interfaces/python/bandits): arms are cells of a
+    factorial design, encoded by effects coding plus an intercept and
+    optional per-observation context; rewards follow
+        r ~ N(x(arm, context)' beta, sigsq)
+    with a conjugate normal-inverse-gamma posterior, so Thompson
+    sampling draws (beta, sigsq) in closed form.
+
+    State: (prec [p, p], prec_mean [p], sse scalar, n scalar)."""
+
+    factor_levels: tuple
+    context_dim: int = 0
+    prior_precision: float = 1.0
+    sigsq_a: float = 1.0
+    sigsq_b: float = 1.0
+
+    @property
+    def arms(self):
+        return arm_map(self.factor_levels)
+
+    @property
+    def dim(self):
+        return (1 + sum(n - 1 for n in self.factor_levels)
+                + self.context_dim)
+
+    def encode(self, arms, context=None):
+        """arms: [n] arm indices -> [n, p] design rows."""
+        arms = jnp.atleast_1d(arms)
+        amap = self.arms
+        cols = [jnp.ones((arms.shape[0], 1))]
+        for f, n_lev in enumerate(self.factor_levels):
+            cols.append(effects_encode(amap[arms, f], n_lev))
+        if self.context_dim:
+            ctx = jnp.broadcast_to(
+                context, (arms.shape[0], self.context_dim))
+            cols.append(ctx)
+        return jnp.concatenate(cols, axis=1)
+
+    def init_state(self):
+        p = self.dim
+        return {"prec": self.prior_precision * jnp.eye(p),
+                "prec_mean": jnp.zeros((p,)),
+                "sse": jnp.asarray(0.0), "n": jnp.asarray(0.0)}
+
+    def draw_beta(self, key, state):
+        """(beta, sigsq) from the NIG posterior."""
+        kb, ks = jax.random.split(key)
+        mean = jnp.linalg.solve(state["prec"], state["prec_mean"])
+        a = self.sigsq_a + 0.5 * state["n"]
+        b = self.sigsq_b + 0.5 * jnp.maximum(
+            state["sse"] - state["prec_mean"] @ mean, 0.0)
+        sigsq = b / dists.gamma.sample(ks, a, 1.0)
+        chol = jnp.linalg.cholesky(state["prec"])
+        z = jax.random.normal(kb, mean.shape)
+        beta = mean + jnp.sqrt(sigsq) * jax.scipy.linalg.solve_triangular(
+            chol.T, z, lower=False)
+        return beta, sigsq
+
+    def draw_arm(self, key, state, context=None):
+        """Thompson sampling over all arms."""
+        beta, _ = self.draw_beta(key, state)
+        n_arms = self.arms.shape[0]
+        x = self.encode(jnp.arange(n_arms), context)
+        return jnp.argmax(x @ beta)
+
+    def update(self, state, arm, reward, context=None):
+        x = self.encode(jnp.atleast_1d(arm), context)[0]
+        return {"prec": state["prec"] + jnp.outer(x, x),
+                "prec_mean": state["prec_mean"] + reward * x,
+                "sse": state["sse"] + reward * reward,
+                "n": state["n"] + 1.0}
+
+    def optimal_arm_probabilities(self, key, state, context=None,
+                                  num_draws=2000):
+        n_arms = self.arms.shape[0]
+        x = self.encode(jnp.arange(n_arms), context)
+        mean = jnp.linalg.solve(state["prec"], state["prec_mean"])
+        a = self.sigsq_a + 0.5 * state["n"]
+        b = self.sigsq_b + 0.5 * jnp.maximum(
+            state["sse"] - state["prec_mean"] @ mean, 0.0)
+        ks, kb = jax.random.split(key)
+        sigsq = b / dists.gamma.sample(ks, a, 1.0, shape=(num_draws,))
+        chol = jnp.linalg.cholesky(state["prec"])
+        z = jax.random.normal(kb, (num_draws,) + mean.shape)
+        betas = mean + jnp.sqrt(sigsq)[:, None] * jax.scipy.linalg.\
+            solve_triangular(chol.T, z.T, lower=False).T
+        best = jnp.argmax(betas @ x.T, axis=-1)
+        return jnp.mean(jax.nn.one_hot(best, n_arms), axis=0)
+
+    def run(self, key, true_beta, sigma, num_steps, context=None):
+        """Simulate a Thompson-sampling run against a true linear model."""
+        true_beta = jnp.asarray(true_beta)
+
+        def step(state, k):
+            k_draw, k_rew = jax.random.split(k)
+            arm = self.draw_arm(k_draw, state, context)
+            x = self.encode(jnp.atleast_1d(arm), context)[0]
+            reward = x @ true_beta + sigma * jax.random.normal(k_rew, ())
+            return self.update(state, arm, reward, context), (arm, reward)
+
+        state, (arms, rewards) = jax.lax.scan(
+            step, self.init_state(), jax.random.split(key, num_steps))
+        return state, arms, rewards

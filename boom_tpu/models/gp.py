@@ -124,3 +124,134 @@ class GpRegression:
         chol = jnp.linalg.cholesky(
             cov + 1e-8 * jnp.eye(cov.shape[0], dtype=cov.dtype))
         return mean + chol @ jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def _mvn_draw(key, mean, cov):
+    chol = jnp.linalg.cholesky(
+        cov + 1e-6 * jnp.eye(cov.shape[0], dtype=cov.dtype))
+    return mean + chol @ jax.random.normal(key, mean.shape, mean.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class HierarchicalGpRegression:
+    """Hierarchical GP (reference Models/GP/
+    HierarchicalGpRegressionModel.hpp:85): a shared mean function
+        f0(X) ~ GP(m0, K0),
+    K group deviations fj(Xj) ~ GP(f0(Xj), Kj), and observations
+        yj | fj ~ N(fj(Xj), sigsq_j I)
+    (hpp:60-70). Gibbs sweep mirrors the reference's
+    HierarchicalGpPosteriorSampler: draw each fj | f0, yj (Gaussian
+    conditional), draw f0 | {fj} with block-diagonal Kj observation
+    noise, then conjugate inverse-gamma sigsq_j.
+
+    TPU form: groups are a fixed-shape [K, n, d] stack (pad + `mask`;
+    masked points get infinite observation noise so they carry prior
+    weight only); all K group conditionals run under one vmap; the f0
+    update is a single [K*n, K*n] Cholesky on the stacked points.
+
+    State: f [K, n] group functions, f0 [K*n] shared function at the
+    stacked points, sigsq [K].
+    """
+
+    x: jax.Array  # [K, n, d] padded group predictors
+    y: jax.Array  # [K, n]
+    mask: jax.Array | None = None  # [K, n] True = observed
+    amp0: float = 1.0          # K0 amplitude (shared mean function)
+    length0: float = 1.0       # K0 lengthscale
+    amp_group: float = 0.5     # Kj amplitude (group deviations)
+    length_group: float = 1.0  # Kj lengthscale
+    sigsq_a: float = 1.0       # IG prior on sigsq_j
+    sigsq_b: float = 1.0
+
+    def _masks(self):
+        if self.mask is None:
+            return jnp.ones(self.y.shape, bool)
+        return self.mask
+
+    def _k_group(self, xj):
+        n = xj.shape[0]
+        k = rbf_kernel(xj, xj, self.amp_group, self.length_group)
+        return k + 1e-6 * jnp.eye(n, dtype=k.dtype)
+
+    def init_state(self, key):
+        kk, n = self.y.shape
+        m = self._masks()
+        ybar = jnp.sum(self.y * m, 1) / jnp.maximum(jnp.sum(m, 1), 1.0)
+        return {"f": jnp.broadcast_to(ybar[:, None], (kk, n)) + 0.0,
+                "f0": jnp.zeros((kk * n,), self.y.dtype),
+                "sigsq": jnp.ones((kk,), self.y.dtype)}
+
+    def kernel(self):
+        kk, n, _ = self.x.shape
+        mask = self._masks()
+        x_all = self.x.reshape(kk * n, -1)
+        k0_all = rbf_kernel(x_all, x_all, self.amp0, self.length0)
+        k0_all = k0_all + 1e-6 * jnp.eye(kk * n, dtype=k0_all.dtype)
+        kj_all = jax.vmap(self._k_group)(self.x)  # [K, n, n]
+
+        def sweep(key, state):
+            kf, k0, ks = jax.random.split(key, 3)
+            f0_blocks = state["f0"].reshape(kk, n)
+
+            # 1. fj | f0, yj: prior N(f0_j, Kj), data N(fj, sigsq_j I)
+            def draw_fj(k, kj, f0j, yj, mj, s2):
+                noise = jnp.where(mj, s2, 1e12)
+                s_mat = kj + jnp.diag(noise)
+                chol = jnp.linalg.cholesky(s_mat)
+                resid = jnp.where(mj, yj - f0j, 0.0)
+                gain = jax.scipy.linalg.cho_solve((chol, True), kj)
+                mean = f0j + gain.T @ resid
+                cov = kj - kj @ gain
+                return _mvn_draw(k, mean, 0.5 * (cov + cov.T))
+
+            f = jax.vmap(draw_fj)(
+                jax.random.split(kf, kk), kj_all, f0_blocks, self.y, mask,
+                state["sigsq"])
+
+            # 2. f0 | {fj}: fj are exact observations of f0 with block
+            # noise Kj (hpp:66-68)
+            noise_block = jax.scipy.linalg.block_diag(
+                *[kj_all[j] for j in range(kk)])
+            s_mat = k0_all + noise_block
+            chol = jnp.linalg.cholesky(s_mat)
+            gain = jax.scipy.linalg.cho_solve((chol, True), k0_all)
+            mean = gain.T @ f.reshape(-1)
+            cov = k0_all - k0_all @ gain
+            f0 = _mvn_draw(k0, mean, 0.5 * (cov + cov.T))
+
+            # 3. sigsq_j | fj, yj (conjugate inverse gamma)
+            resid2 = jnp.sum(jnp.where(mask, (self.y - f) ** 2, 0.0), 1)
+            nj = jnp.sum(mask, 1)
+            from boom_tpu import dists
+            sigsq = 1.0 / dists.gamma.sample(
+                ks, self.sigsq_a + 0.5 * nj, self.sigsq_b + 0.5 * resid2)
+            return {"f": f, "f0": f0, "sigsq": sigsq}
+
+        return sweep
+
+    def predict_group(self, state, x_new, group):
+        """Posterior mean of fj at x_new given the current draw: the GP
+        conditional of the deviation around the f0 conditional mean."""
+        xj = self.x[group]
+        kj = self._k_group(xj)
+        k_sn = rbf_kernel(x_new, xj, self.amp_group, self.length_group)
+        x_all = self.x.reshape(self.x.shape[0] * self.x.shape[1], -1)
+        k0_sn = rbf_kernel(x_new, x_all, self.amp0, self.length0)
+        k0_all = rbf_kernel(x_all, x_all, self.amp0, self.length0)
+        k0_all = k0_all + 1e-6 * jnp.eye(x_all.shape[0], dtype=k0_all.dtype)
+        f0_new = k0_sn @ jnp.linalg.solve(k0_all, state["f0"])
+        n = xj.shape[0]
+        f0j = state["f0"].reshape(self.y.shape)[group]
+        dev = state["f"][group] - f0j
+        return f0_new + k_sn @ jnp.linalg.solve(kj, dev)
+
+    @staticmethod
+    def simulate(key, x, f0_fn, group_dev_fns, sigma):
+        """Simulate grouped data from known functions (for tests)."""
+        kk, n, _ = x.shape
+        ys = []
+        keys = jax.random.split(key, kk)
+        for j in range(kk):
+            mean = f0_fn(x[j]) + group_dev_fns[j](x[j])
+            ys.append(mean + sigma * jax.random.normal(keys[j], (n,)))
+        return jnp.stack(ys)

@@ -331,3 +331,347 @@ def linear_assignment(cost):
         if p[j] > 0:
             row_to_col[p[j] - 1] = j - 1
     return row_to_col
+
+
+def conjugate_gradient(fn: Callable, x0, max_iters: int = 200,
+                       tol: float = 1e-8, ls_iters: int = 24):
+    """Nonlinear conjugate gradient (Polak-Ribiere+ with automatic
+    restart; reference numopt/conj_grad.cpp, numopt.hpp:246). Line
+    search is fixed-trip backtracking Armijo — jittable, no dynamic
+    shapes."""
+    x0_flat, unravel = ravel_pytree(x0)
+    val_grad = jax.value_and_grad(lambda xf: jnp.asarray(fn(unravel(xf))))
+
+    def line_search(xf, d, f0, g0):
+        slope = g0 @ d
+
+        def body(carry, _):
+            step, best_f, best_step = carry
+            f_try = jnp.asarray(fn(unravel(xf + step * d)))
+            ok = f_try <= f0 + 1e-4 * step * slope
+            best_step = jnp.where(ok & (f_try < best_f), step, best_step)
+            best_f = jnp.where(ok, jnp.minimum(f_try, best_f), best_f)
+            return (step * 0.5, best_f, best_step), None
+
+        (_, _, step), _ = jax.lax.scan(
+            body, (jnp.asarray(1.0, xf.dtype), f0, jnp.asarray(0.0, xf.dtype)),
+            None, length=ls_iters)
+        return step
+
+    def body(carry):
+        xf, d, g_prev, f_prev, it, done = carry
+        step = line_search(xf, d, f_prev, g_prev)
+        x_new = xf + step * d
+        f_new, g_new = val_grad(x_new)
+        # Polak-Ribiere+, restarted when beta < 0
+        beta = jnp.maximum(
+            g_new @ (g_new - g_prev) / jnp.maximum(g_prev @ g_prev, 1e-30),
+            0.0)
+        d_new = -g_new + beta * d
+        # reset to steepest descent if not a descent direction
+        d_new = jnp.where(g_new @ d_new < 0, d_new, -g_new)
+        done = (jnp.linalg.norm(g_new) < tol) | (step == 0.0)
+        return x_new, d_new, g_new, f_new, it + 1, done
+
+    f0, g0 = val_grad(x0_flat)
+    init = (x0_flat, -g0, g0, f0, jnp.asarray(0), jnp.asarray(False))
+    xf, _, g, f, it, done = jax.lax.while_loop(
+        lambda c: (~c[5]) & (c[4] < max_iters), body, init)
+    return OptResult(x=unravel(xf), value=f, converged=done, iterations=it)
+
+
+def powell(fn: Callable, x0, max_iters: int = 50, tol: float = 1e-10,
+           bracket: float = 1.0, golden_iters: int = 40):
+    """Powell's derivative-free direction-set method (reference
+    numopt/Powell.hpp, which wraps the classic direction-set loop).
+    Each pass line-minimizes along every direction by fixed-trip
+    golden-section on [-bracket, +bracket] (expanded adaptively), then
+    replaces the direction of largest decrease with the total move."""
+    x0_flat, unravel = ravel_pytree(x0)
+    n = x0_flat.shape[0]
+    f_flat = lambda xf: jnp.asarray(fn(unravel(xf)))
+    gr = 0.5 * (jnp.sqrt(5.0) - 1.0)
+
+    def line_min(xf, d):
+        def fb(t):
+            return f_flat(xf + t * d)
+
+        # coarse bracketing: probe +-bracket * 2^k, center the golden
+        # search on the best probe so long moves are reachable
+        scales = bracket * 2.0 ** jnp.arange(-2, 6, dtype=xf.dtype)
+        cand = jnp.concatenate(
+            [jnp.zeros((1,), xf.dtype), scales, -scales])
+        f_cand = jax.vmap(fb)(cand)
+        t0 = cand[jnp.argmin(f_cand)]
+        span = jnp.abs(t0) + bracket
+
+        def golden(carry, _):
+            lo, hi = carry
+            m1 = hi - gr * (hi - lo)
+            m2 = lo + gr * (hi - lo)
+            shrink_hi = fb(m1) < fb(m2)
+            return (jnp.where(shrink_hi, lo, m1),
+                    jnp.where(shrink_hi, m2, hi)), None
+
+        (lo, hi), _ = jax.lax.scan(
+            golden, (t0 - span, t0 + span), None, length=golden_iters)
+        t = 0.5 * (lo + hi)
+        t = jnp.where(fb(t) < fb(0.0), t, 0.0)
+        return xf + t * d, fb(t)
+
+    def sweep(carry):
+        xf, dirs, f_cur, it, done = carry
+
+        def one_dir(inner, i):
+            x_c, best_drop, best_i, f_c = inner
+            x_n, f_n = line_min(x_c, dirs[i])
+            drop = f_c - f_n
+            better = drop > best_drop
+            return (x_n, jnp.where(better, drop, best_drop),
+                    jnp.where(better, i, best_i), f_n), None
+
+        (x_new, best_drop, best_i, f_new), _ = jax.lax.scan(
+            one_dir, (xf, jnp.asarray(0.0, xf.dtype), 0, f_cur),
+            jnp.arange(n))
+        # replace the best direction with the net displacement; reset the
+        # set to the axes every n sweeps (the classic guard against the
+        # direction set collapsing to a degenerate subspace)
+        net = x_new - xf
+        norm = jnp.linalg.norm(net)
+        new_dir = jnp.where(norm > 1e-30, net / jnp.maximum(norm, 1e-30),
+                            dirs[best_i])
+        dirs = dirs.at[best_i].set(new_dir)
+        dirs = jnp.where((it + 1) % n == 0,
+                         jnp.eye(n, dtype=xf.dtype), dirs)
+        done = jnp.abs(f_cur - f_new) < tol * (jnp.abs(f_cur) + tol)
+        return x_new, dirs, f_new, it + 1, done
+
+    init = (x0_flat, jnp.eye(n, dtype=x0_flat.dtype), f_flat(x0_flat),
+            jnp.asarray(0), jnp.asarray(False))
+    xf, _, f, it, done = jax.lax.while_loop(
+        lambda c: (~c[4]) & (c[3] < max_iters), sweep, init)
+    return OptResult(x=unravel(xf), value=f, converged=done, iterations=it)
+
+
+def simulated_annealing(key, fn: Callable, x0, num_steps: int = 2000,
+                        initial_temperature: float = 1.0,
+                        cooling: float = 0.999, step_size: float = 0.5,
+                        num_restarts: int = 8, spread: float = 2.0):
+    """Simulated annealing with Gaussian proposals and geometric cooling
+    (reference numopt/SimulatedAnnealingOptimizer.hpp). `num_restarts`
+    annealers run batched under vmap from perturbed starts (one walker
+    per VPU lane-batch — restarts are how SA escapes the nearest basin);
+    the best point visited by any walker is returned."""
+    x0_flat, unravel = ravel_pytree(x0)
+    f_flat = lambda xf: jnp.asarray(fn(unravel(xf)))
+
+    def one_run(k, x_start):
+        def step(carry, kk):
+            xf, f_cur, best_x, best_f, temp = carry
+            kp, ka = jax.random.split(kk)
+            prop = xf + step_size * jnp.maximum(temp, 0.05) \
+                * jax.random.normal(kp, xf.shape, xf.dtype)
+            f_prop = f_flat(prop)
+            accept = jnp.log(jax.random.uniform(ka, (), xf.dtype)) < (
+                (f_cur - f_prop) / jnp.maximum(temp, 1e-12))
+            xf = jnp.where(accept, prop, xf)
+            f_cur = jnp.where(accept, f_prop, f_cur)
+            better = f_cur < best_f
+            best_x = jnp.where(better, xf, best_x)
+            best_f = jnp.where(better, f_cur, best_f)
+            return (xf, f_cur, best_x, best_f, temp * cooling), None
+
+        f0 = f_flat(x_start)
+        (_, _, best_x, best_f, _), _ = jax.lax.scan(
+            step, (x_start, f0, x_start, f0,
+                   jnp.asarray(initial_temperature, x0_flat.dtype)),
+            jax.random.split(k, num_steps))
+        return best_x, best_f
+
+    k_init, k_run = jax.random.split(key)
+    starts = x0_flat + spread * jax.random.normal(
+        k_init, (num_restarts,) + x0_flat.shape, x0_flat.dtype)
+    starts = starts.at[0].set(x0_flat)
+    best_xs, best_fs = jax.vmap(one_run)(
+        jax.random.split(k_run, num_restarts), starts)
+    i = jnp.argmin(best_fs)
+    return OptResult(x=unravel(best_xs[i]), value=best_fs[i],
+                     converged=jnp.asarray(True),
+                     iterations=jnp.asarray(num_steps))
+
+
+class MarkovDecisionProcess:
+    """Finite stationary MDP (reference
+    numopt/MarkovDecisionProcess.hpp:24): transition_probabilities[r, a, s]
+    = P(next = s | state = r, action = a); rewards[r, a, s] = expected
+    reward of that transition. `value_iteration` and `optimal_policy`
+    are one lax.scan over the horizon — each Bellman backup is a single
+    batched contraction the MXU handles."""
+
+    def __init__(self, transition_probabilities, rewards):
+        self.probs = jnp.asarray(transition_probabilities)
+        self.rewards = jnp.asarray(rewards)
+        assert self.probs.ndim == 3
+        assert self.probs.shape == self.rewards.shape
+
+    @property
+    def num_states(self):
+        return self.probs.shape[0]
+
+    @property
+    def num_actions(self):
+        return self.probs.shape[1]
+
+    def _q_backup(self, v):
+        # Q[r, a] = sum_s P[r, a, s] (reward[r, a, s] + gamma V[s])
+        return jnp.einsum("ras,ras->ra", self.probs,
+                          self.rewards + v[None, None, :])
+
+    def value_iteration(self, horizon: int, discount_rate: float):
+        """V[s]: discounted expected total reward from state s
+        (MarkovDecisionProcess.hpp:58)."""
+
+        def backup(v, _):
+            q = jnp.einsum("ras,ras->ra", self.probs,
+                           self.rewards + discount_rate * v[None, None, :])
+            return jnp.max(q, axis=1), None
+
+        v0 = jnp.zeros((self.num_states,), self.rewards.dtype)
+        v, _ = jax.lax.scan(backup, v0, None, length=horizon)
+        return v
+
+    def optimal_policy(self, horizon: int, discount_rate: float):
+        """pi[s]: the optimal action in state s
+        (MarkovDecisionProcess.hpp:69)."""
+        v = self.value_iteration(horizon, discount_rate)
+        q = jnp.einsum("ras,ras->ra", self.probs,
+                       self.rewards + discount_rate * v[None, None, :])
+        return jnp.argmax(q, axis=1)
+
+
+class QLearning:
+    """Tabular epsilon-greedy Q-learning (reference numopt/Qlearning.hpp).
+    Functional API: `update` returns the new Q table; `run` drives an
+    episode against an MDP simulator under one lax.scan."""
+
+    def __init__(self, num_states: int, num_actions: int,
+                 learning_rate: float = 0.1, discount: float = 0.95,
+                 epsilon: float = 0.1):
+        self.num_states = num_states
+        self.num_actions = num_actions
+        self.learning_rate = learning_rate
+        self.discount = discount
+        self.epsilon = epsilon
+
+    def init_q(self, dtype=jnp.float32):
+        return jnp.zeros((self.num_states, self.num_actions), dtype)
+
+    def choose_action(self, key, q, state):
+        ke, ka = jax.random.split(key)
+        greedy = jnp.argmax(q[state])
+        random_a = jax.random.randint(ka, (), 0, self.num_actions)
+        explore = jax.random.uniform(ke, ()) < self.epsilon
+        return jnp.where(explore, random_a, greedy)
+
+    def update(self, q, state, action, reward, next_state):
+        target = reward + self.discount * jnp.max(q[next_state])
+        delta = target - q[state, action]
+        return q.at[state, action].add(self.learning_rate * delta)
+
+    def run(self, key, mdp: MarkovDecisionProcess, num_steps: int,
+            initial_state: int = 0):
+        """Learn online against the true MDP dynamics."""
+
+        def step(carry, k):
+            q, s = carry
+            ka, kt = jax.random.split(k)
+            a = self.choose_action(ka, q, s)
+            s_next = jax.random.categorical(kt, jnp.log(
+                jnp.clip(mdp.probs[s, a], 1e-30, None)))
+            r = mdp.rewards[s, a, s_next]
+            return (self.update(q, s, a, r, s_next), s_next), r
+
+        (q, _), rewards = jax.lax.scan(
+            step, (self.init_q(mdp.rewards.dtype),
+                   jnp.asarray(initial_state)),
+            jax.random.split(key, num_steps))
+        return q, rewards
+
+
+def class_assigner(key, marginal_posteriors, global_target,
+                   max_kl: float = 0.05, num_sweeps: int = 200,
+                   initial_temperature: float = 1.0,
+                   alpha_steps: int = 8):
+    """Assign each object to a class so that individual posteriors stay
+    respected while the empirical class distribution matches a global
+    target (reference numopt/ClassAssigner.hpp:20): minimize
+        mean_i log(pi_i(k*_i) / pi_i(k_i)) + alpha KL(target, empirical)
+    by simulated annealing over single-site moves, escalating alpha
+    until the achieved KL is below max_kl (ClassAssigner.hpp:33-35).
+
+    Returns (assignment [n], kl achieved)."""
+    pi = jnp.asarray(marginal_posteriors)
+    target = jnp.asarray(global_target)
+    n, k = pi.shape
+    log_pi = jnp.log(jnp.clip(pi, 1e-30, None))
+    map_lp = jnp.max(log_pi, axis=1)
+
+    def kl_of_counts(counts):
+        emp = counts / n
+        return jnp.sum(jnp.where(
+            target > 0,
+            target * (jnp.log(jnp.clip(target, 1e-30, None))
+                      - jnp.log(jnp.clip(emp, 1e-30, None))), 0.0))
+
+    def cost(assign_lp_sum, counts, alpha):
+        return ((jnp.sum(map_lp) - assign_lp_sum) / n
+                + alpha * kl_of_counts(counts))
+
+    def anneal(key, assign, alpha):
+        counts = jnp.sum(jax.nn.one_hot(assign, k), axis=0)
+        lp_sum = jnp.sum(jnp.take_along_axis(
+            log_pi, assign[:, None], axis=1))
+
+        def sweep_step(carry, inp):
+            assign, counts, lp_sum, temp = carry
+            k_i, k_c, k_a = inp
+            i = jax.random.randint(k_i, (), 0, n)
+            new_c = jax.random.randint(k_c, (), 0, k)
+            old_c = assign[i]
+            new_counts = counts.at[old_c].add(-1.0).at[new_c].add(1.0)
+            new_lp = lp_sum - log_pi[i, old_c] + log_pi[i, new_c]
+            delta = (cost(new_lp, new_counts, alpha)
+                     - cost(lp_sum, counts, alpha))
+            accept = jnp.log(jax.random.uniform(k_a, ())) < (
+                -delta / jnp.maximum(temp, 1e-12))
+            assign = jnp.where(accept, assign.at[i].set(new_c), assign)
+            counts = jnp.where(accept, new_counts, counts)
+            lp_sum = jnp.where(accept, new_lp, lp_sum)
+            return (assign, counts, lp_sum, temp * 0.995), None
+
+        steps = num_sweeps * n
+        keys = jax.random.split(key, (steps, 3))
+        (assign, counts, lp_sum, _), _ = jax.lax.scan(
+            sweep_step, (assign, counts, lp_sum,
+                         jnp.asarray(initial_temperature)),
+            (keys[:, 0], keys[:, 1], keys[:, 2]))
+        return assign, kl_of_counts(counts)
+
+    assign0 = jnp.argmax(log_pi, axis=1)
+
+    def alpha_step(carry, k_a):
+        assign, alpha, kl, done = carry
+        new_assign, new_kl = anneal(k_a, assign, alpha)
+        take = ~done
+        assign = jnp.where(take, new_assign, assign)
+        kl = jnp.where(take, new_kl, kl)
+        done = done | (kl <= max_kl)
+        return (assign, alpha * 4.0, kl, done), None
+
+    counts0 = jnp.sum(jax.nn.one_hot(assign0, k), axis=0)
+    (assign, _, kl, _), _ = jax.lax.scan(
+        alpha_step,
+        (assign0, jnp.asarray(1.0), kl_of_counts(counts0),
+         jnp.asarray(False)),
+        jax.random.split(key, alpha_steps))
+    return assign, kl

@@ -54,13 +54,22 @@ class MvSsmParams(NamedTuple):
     t_mat: jax.Array  # [d, d]
     r_mat: jax.Array  # [d, q]
     q_mat: jax.Array  # [q, q]
-    h_diag: jax.Array  # [K] observation variances
+    h_diag: jax.Array  # [K] or [T, K] observation variances (a [T, K]
+    # H carries the latent student-t weights of the heteroscedastic
+    # reduction, reference StudentMvssRegressionModel)
     a0: jax.Array  # [d]
     p0: jax.Array  # [d, d]
 
     @property
     def rqr(self):
         return self.r_mat @ self.q_mat @ self.r_mat.T
+
+    def hs(self, t_len):
+        """[T, K] per-time observation variances."""
+        if self.h_diag.ndim == 2:
+            return self.h_diag
+        return jnp.broadcast_to(self.h_diag,
+                                (t_len, self.h_diag.shape[0]))
 
 
 class MvFilterResult(NamedTuple):
@@ -84,11 +93,11 @@ def mv_kalman_filter(params: MvSsmParams, y, observed=None):
 
     def step(carry, inp):
         a, p = carry
-        y_t, obs_t = inp
+        y_t, obs_t, h_t = inp
         v = jnp.where(obs_t, y_t - z @ a, 0.0)
         pz = p @ z.T  # [d, K]
         # missing obs: infinite variance == drop row; implement by huge h
-        h_eff = jnp.where(obs_t, params.h_diag, 1e12)
+        h_eff = jnp.where(obs_t, h_t, 1e12)
         f = z @ pz + jnp.diag(h_eff)
         f = 0.5 * (f + f.T)
         chol = jnp.linalg.cholesky(f)
@@ -107,7 +116,7 @@ def mv_kalman_filter(params: MvSsmParams, y, observed=None):
 
     (_, _), (v, finv_v, k_gain, a, p, ll) = jax.lax.scan(
         step, (params.a0.astype(dtype), params.p0.astype(dtype)),
-        (y.astype(dtype), observed))
+        (y.astype(dtype), observed, params.hs(t_len).astype(dtype)))
     return MvFilterResult(loglik=ll.sum(), v=v, finv_v=finv_v,
                           k_gain=k_gain, a=a, p=p)
 
@@ -154,7 +163,7 @@ def mv_simulate(key, params: MvSsmParams, t_len: int):
     _, alphas = jax.lax.scan(step, alpha1,
                              jax.random.split(ka, t_len - 1))
     alphas = jnp.concatenate([alpha1[None], alphas], axis=0)
-    eps = (jnp.sqrt(params.h_diag)[None, :]
+    eps = (jnp.sqrt(params.hs(t_len))
            * jax.random.normal(ke, (t_len, params.z.shape[0]), dtype))
     y = alphas @ params.z.T + eps
     return alphas, y

@@ -1,4 +1,4 @@
-"""Multivariate state space (mbsts): shared-factor model over K series.
+"""Multivariate state space (mbsts): shared + per-series state over K series.
 
 Reference: Models/StateSpace/Multivariate/
 MultivariateStateSpaceRegressionModel.hpp:137 (the engine of the R
@@ -6,44 +6,73 @@ MultivariateStateSpaceRegressionModel.hpp:137 (the engine of the R
 ("observation coefficients") matrix, plus per-series spike-slab
 regression and per-series observation variances),
 StateModels/SharedLocalLevel.hpp (shared random-walk factors with
-identification constraints on the loadings), and the multivariate
-filters in Models/StateSpace/Filters (ConditionallyIndependentKalman
-Filter — diagonal observation error).
+identification constraints on the loadings),
+StateModels/ScalarStateModelAdapter.hpp:49 (scalar state models adapted
+into the shared filter: y[t, k] = coef[k] * (Z_t' alpha_t) + ...),
+MultivariateStateSpaceRegressionModel.hpp:205-230 (series-specific state
+via ProxyScalarStateSpaceModel: each series owns a scalar state-space
+model whose state is imputed conditional on the shared state),
+StudentMvssRegressionModel.hpp:140 (student observation errors via
+latent scale weights), and the multivariate filters in
+Models/StateSpace/Filters (ConditionallyIndependentKalmanFilter —
+diagonal observation error).
 
 Model:
-    y_t = Lambda alpha_t + B x_t + eps_t,   eps ~ N(0, diag(sigsq_k))
-    alpha_{t+1} = alpha_t + eta_t,          eta ~ N(0, diag(q_j))
-    Lambda lower-triangular-constrained (Lambda[j, j] free, Lambda[k, j]
-    = 0 for k < j) for factor identification, unit innovation scale per
-    factor absorbed into Lambda is avoided by fixing q_j priors.
+    y[t]      = Lambda alpha_t + sum_b coef_b (z_b' alpha_{b,t})
+                + s[t] + B x_t + eps_t,
+    eps[t,k] ~ N(0, sigsq_k / w[t,k]),  w = 1 (gaussian) or
+                w[t,k] ~ Gamma(nu/2, nu/2) (student errors)
+    alpha_{t+1} = alpha_t + eta_t (shared factors, random walk)
+    alpha_{b,t} : shared scalar blocks (seasonal/trend/...) loading on
+                  series k with coefficient coef_b[k] (coef_b[0] == 1)
+    s[t,k]     : per-series scalar state (proxy models), independent
+                 parameters per series, imputed by a vmapped scalar
+                 Durbin-Koopman smoother
+    Lambda lower-triangular with POSITIVE DIAGONAL (sign-flip
+    identification applied each sweep: likelihood and symmetric priors
+    are invariant under (Lambda[:, j], alpha[:, j]) -> -(...), so the
+    deterministic flip to Lambda[j, j] > 0 preserves the posterior).
 
-Gibbs sweep (the MultivariateStateSpacePosteriorSampler blocking):
-    1. per-series spike-slab regression on y_k - (Lambda alpha)_k
-    2. loadings rows | alpha (conjugate Gaussian, masked constraint)
-    3. factor innovation variances | alpha
-    4. per-series sigsq | residuals
-    5. alpha | everything  (vector-observation Durbin-Koopman smoother)
+Gibbs sweep (the MultivariateStateSpacePosteriorSampler blocking,
+impute_state at MultivariateStateSpaceRegressionModel.cpp):
+    1. per-series spike-slab regression | all state
+    2. loadings rows | shared alpha (conjugate, masked, sign-fixed)
+    3. adapter observation coefficients | shared alpha
+    4. factor innovation variances + shared block params | shared alpha
+    5. per-series state paths + block params (vmapped scalar smoother)
+    6. per-series sigsq | residuals (weighted when student)
+    7. student weights and optional nu | residuals
+    8. shared alpha | everything (vector-observation DK smoother)
 
 TPU notes: the filter is a lax.scan whose per-step work is [K, J] x
 [J, J] GEMMs (MXU); the K-dim innovation solve is a Cholesky of the
-[K, K] predictive covariance. Everything vmaps over chains.
+[K, K] predictive covariance. Per-series state imputation is a vmap of
+the scalar Kalman machinery over K (each proxy model is independent
+given the shared state — embarrassingly parallel, exactly where the
+reference loops over proxy models). Everything vmaps over chains.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from boom_tpu import dists
+from boom_tpu.inference.kernels.slice import slice_step
 from boom_tpu.models.glm.regression import SpikeSlabPrior
 from boom_tpu.models.glm.ssvs import (
     WeightedRegSuf,
     kv_draw_beta,
     kv_draw_indicators,
 )
+from boom_tpu.statespace.kalman import (
+    SsmParams,
+    simulation_smoother,
+)
+from boom_tpu.statespace.bsts import _block_diag
 from boom_tpu.statespace.state_models import SdPrior
 
 
@@ -180,21 +209,48 @@ def mv_simulation_smoother(key, params: MvSsmParams, y, observed=None):
 
 @dataclasses.dataclass(frozen=True)
 class MultivariateBsts:
-    """mbsts: K series, J shared local-level factors, optional per-series
-    spike-slab regression (reference
-    MultivariateStateSpaceRegressionModel.hpp:137; R mbsts.R).
+    """mbsts: K series sharing J local-level factors, optional shared
+    scalar state blocks (the ScalarStateModelAdapter mechanism),
+    per-series scalar state blocks (ProxyScalarStateSpaceModel), per-
+    series spike-slab regression with shared or series-specific designs,
+    and gaussian or student observation errors.
+
+    Reference: MultivariateStateSpaceRegressionModel.hpp:137 (shared +
+    series-specific state, usage idiom at :120-133),
+    ScalarStateModelAdapter.hpp:49 (shared_blocks + obs_coef),
+    StudentMvssRegressionModel.hpp:140 (student_df / sample_nu); R
+    mbsts.R.
 
     State keys: loadings [K, J], factor_sigsq [J], sigsq_obs [K],
-    alpha [T, J], and (if predictors) gamma/beta [K, p].
+    alpha [T, J + shared block dims]; plus (when configured)
+    shared_blocks/obs_coef, series_blocks/series_alpha, gamma/beta
+    [K, p], weights [T, K], nu.
     """
 
     y: jax.Array  # [T, K]
     num_factors: int
-    predictors: jax.Array | None = None  # [T, p] shared design
+    # [T, p] (shared design) or [K, T, p] (series-specific designs,
+    # reference MultivariateStateSpaceRegressionModel.hpp:137's
+    # IndependentRegressionModels with per-series data)
+    predictors: jax.Array | None = None
     reg_prior: SpikeSlabPrior | None = None
+    # shared scalar state blocks loading on every series through a
+    # per-series coefficient (coef[0] fixed at 1 for identification) —
+    # reference ScalarStateModelAdapter.hpp:49
+    shared_blocks: Sequence = ()
+    # per-series scalar state blocks (independent parameters per series)
+    # — reference ProxyScalarStateSpaceModel / add_series_specific_state
+    series_blocks: Sequence = ()
+    # student observation errors with (fixed or sampled) df — reference
+    # StudentMvssRegressionModel.hpp:140
+    student_df: float | None = None
+    sample_nu: bool = False
+    nu_prior_rate: float = 0.1
+    observed: jax.Array | None = None  # [T, K] bool; None = all observed
     factor_sd_prior: SdPrior | None = None
     obs_sd_prior: SdPrior | None = None
     loading_prior_sd: float = 1.0
+    obs_coef_prior_sd: float = 1.0
     reg_max_flips: int | None = None
 
     def __post_init__(self):
@@ -207,35 +263,165 @@ class MultivariateBsts:
             object.__setattr__(
                 self, "obs_sd_prior",
                 SdPrior(sigma_guess=0.5 * sd, upper_limit=2.0 * sd))
+        for b in self.series_blocks:
+            assert not hasattr(b, "z_seq") and not getattr(
+                b, "needs_residual", False), (
+                "series_blocks must be static-Z scalar blocks")
+        for b in self.shared_blocks:
+            assert not hasattr(b, "z_seq") and not getattr(
+                b, "needs_residual", False), (
+                "shared_blocks must be static-Z scalar blocks")
+        assert self.num_factors + sum(
+            b.dim for b in self.shared_blocks) >= 1, (
+            "need at least one shared factor or shared block")
 
     @property
     def num_series(self):
         return self.y.shape[1]
 
+    @property
+    def t_len(self):
+        return self.y.shape[0]
+
+    @property
+    def student(self):
+        return self.student_df is not None
+
+    @property
+    def _series_specific_x(self):
+        return self.predictors is not None and self.predictors.ndim == 3
+
+    def _x_for_series(self):
+        """[K, T, p] view of the design (broadcast when shared)."""
+        if self._series_specific_x:
+            return self.predictors
+        return jnp.broadcast_to(
+            self.predictors[None],
+            (self.num_series,) + self.predictors.shape)
+
+    def _obs_mask(self):
+        if self.observed is None:
+            return jnp.ones(self.y.shape, bool)
+        return self.observed
+
+    # -- shared-state system -------------------------------------------------
+    def _shared_slices(self):
+        """(start, dim) of each shared block inside alpha, after the J
+        factor dims."""
+        out, start = [], self.num_factors
+        for b in self.shared_blocks:
+            out.append((start, b.dim))
+            start += b.dim
+        return out
+
+    @property
+    def shared_dim(self):
+        return self.num_factors + sum(b.dim for b in self.shared_blocks)
+
     def _loading_mask(self):
-        """Lower-triangular identification: Lambda[k, j] = 0 for k < j;
-        diagonal positive handled by leaving it free (sign flips are
-        resolved at analysis time, as the reference does)."""
+        """Lower-triangular identification: Lambda[k, j] = 0 for k < j.
+        The diagonal is constrained positive by the deterministic sign
+        flip in the sweep (see module docstring)."""
         k, j = self.num_series, self.num_factors
-        return jnp.tril(jnp.ones((k, j))) if k >= j else jnp.tril(
-            jnp.ones((k, j)))
+        return jnp.tril(jnp.ones((k, j)))
+
+    def _shared_z(self, state):
+        """[K, shared_dim] observation matrix: loadings columns for the
+        factors, coef_b (x) z_b for each adapted scalar block."""
+        cols = [state["loadings"]] if self.num_factors else []
+        for b in self.shared_blocks:
+            coef = state["obs_coef"][b.name]  # [K]
+            cols.append(coef[:, None] * b.z()[None, :])
+        return jnp.concatenate(cols, axis=1)
 
     def ssm_params(self, state):
         j = self.num_factors
+        ts = [jnp.eye(j)]
+        rs = [jnp.eye(j)]
+        qs = [jnp.diag(state["factor_sigsq"])]
+        a0s = [jnp.zeros(j)]
+        p0s = [jnp.eye(j) * jnp.var(self.y)]
+        for b in self.shared_blocks:
+            t_mat, r_mat, q_mat = b.build(state["shared_blocks"][b.name])
+            ts.append(t_mat)
+            rs.append(r_mat)
+            qs.append(q_mat)
+            a0, p0 = b.init_dist()
+            a0s.append(a0)
+            p0s.append(p0)
+        h = state["sigsq_obs"]
+        if self.student:
+            h = h[None, :] / state["weights"]  # [T, K]
         return MvSsmParams(
-            z=state["loadings"],
-            t_mat=jnp.eye(j),
-            r_mat=jnp.eye(j),
-            q_mat=jnp.diag(state["factor_sigsq"]),
-            h_diag=state["sigsq_obs"],
-            a0=jnp.zeros(j),
-            p0=jnp.eye(j) * jnp.var(self.y),
+            z=self._shared_z(state),
+            t_mat=_block_diag(ts),
+            r_mat=_block_diag(rs),
+            q_mat=_block_diag(qs),
+            h_diag=h,
+            a0=jnp.concatenate(a0s),
+            p0=_block_diag(p0s),
         )
 
+    # -- per-series (proxy) system -------------------------------------------
+    @property
+    def series_dim(self):
+        return sum(b.dim for b in self.series_blocks)
+
+    def _series_slices(self):
+        out, start = [], 0
+        for b in self.series_blocks:
+            out.append((start, b.dim))
+            start += b.dim
+        return out
+
+    def _series_ssm(self, series_params, sigsq_k, w_col):
+        """Scalar SSM for ONE series' proxy model. series_params: this
+        series' (unstacked) block param dicts; w_col: [T] weights."""
+        zs, ts, rs, qs, a0s, p0s = [], [], [], [], [], []
+        for b in self.series_blocks:
+            t_mat, r_mat, q_mat = b.build(series_params[b.name])
+            zs.append(b.z())
+            ts.append(t_mat)
+            rs.append(r_mat)
+            qs.append(q_mat)
+            a0, p0 = b.init_dist()
+            a0s.append(a0)
+            p0s.append(p0)
+        h = sigsq_k / w_col if self.student else sigsq_k
+        return SsmParams(
+            z=jnp.concatenate(zs), t_mat=_block_diag(ts),
+            r_mat=_block_diag(rs), q_mat=_block_diag(qs), h=h,
+            a0=jnp.concatenate(a0s), p0=_block_diag(p0s))
+
+    def _series_z(self):
+        return jnp.concatenate([b.z() for b in self.series_blocks])
+
+    def series_contrib(self, state):
+        """[T, K] contribution of the per-series state."""
+        if not self.series_blocks:
+            return jnp.zeros(self.y.shape)
+        return jnp.einsum("ktd,d->tk", state["series_alpha"],
+                          self._series_z())
+
+    def shared_contrib(self, state):
+        return state["alpha"] @ self._shared_z(state).T
+
+    def _reg_contrib(self, state):
+        if self.predictors is None:
+            return jnp.zeros(self.y.shape)
+        if self._series_specific_x:
+            return jnp.einsum("ktp,kp->tk", self.predictors,
+                              state["beta"])
+        return self.predictors @ state["beta"].T
+
+    def _y_adj(self, state):
+        return self.y - self._reg_contrib(state)
+
+    # -- init ------------------------------------------------------------
     def init_state(self, key):
         t_len, k = self.y.shape
         j = self.num_factors
-        keys = jax.random.split(key, 4)
+        keys = jax.random.split(key, 8)
         mask = self._loading_mask()
         loadings = mask * (jnp.ones((k, j))
                            + 0.1 * jax.random.normal(keys[0], (k, j)))
@@ -245,39 +431,59 @@ class MultivariateBsts:
             "factor_sigsq": jnp.full((j,), (0.1 * sd) ** 2),
             "sigsq_obs": jnp.full((k,), (0.5 * sd) ** 2),
         }
+        if self.shared_blocks:
+            bkeys = jax.random.split(keys[3], len(self.shared_blocks))
+            state["shared_blocks"] = {
+                b.name: b.init_params(bk)
+                for b, bk in zip(self.shared_blocks, bkeys)}
+            state["obs_coef"] = {
+                b.name: jnp.ones((k,)) for b in self.shared_blocks}
+        if self.series_blocks:
+            state["series_blocks"] = {}
+            bkeys = jax.random.split(keys[4], len(self.series_blocks))
+            for b, bk in zip(self.series_blocks, bkeys):
+                state["series_blocks"][b.name] = jax.vmap(b.init_params)(
+                    jax.random.split(bk, k))
+            state["series_alpha"] = jnp.zeros((k, t_len, self.series_dim))
+        if self.student:
+            state["weights"] = jnp.ones((t_len, k))
+            state["nu"] = jnp.asarray(float(self.student_df))
         if self.predictors is not None:
-            p = self.predictors.shape[1]
+            p = (self.predictors.shape[-1])
             pi = jax.nn.sigmoid(self.reg_prior.log_inclusion_odds)
             state["gamma"] = jax.random.uniform(
                 keys[1], (k, p)) < jnp.maximum(pi, 2.0 / p)
             state["beta"] = jnp.zeros((k, p))
         state["alpha"] = mv_simulation_smoother(
-            keys[2], self.ssm_params(state), self._y_adj(state))
+            keys[2], self.ssm_params(state), self._y_adj(state),
+            self._obs_mask())
         return state
 
-    def _y_adj(self, state):
-        if self.predictors is None:
-            return self.y
-        return self.y - self.predictors @ state["beta"].T
-
+    # -- Gibbs sweep -----------------------------------------------------
     def kernel(self):
         has_reg = self.predictors is not None
         t_len, k_dim = self.y.shape
         j_dim = self.num_factors
         mask = self._loading_mask()
+        obs = self._obs_mask()
+        obs_f = obs.astype(self.y.dtype)
 
         def sweep(key, state):
-            keys = jax.random.split(key, 6)
+            keys = jax.random.split(key, 10)
             out = dict(state)
-            factor_contrib = state["alpha"] @ state["loadings"].T  # [T, K]
+            shared_c = self.shared_contrib(state)  # [T, K]
+            series_c = self.series_contrib(state)  # [T, K]
+            w = state["weights"] if self.student else jnp.ones(
+                self.y.shape)
+            w_obs = w * obs_f  # weights with missing rows zeroed
 
-            # 1. per-series spike-slab regression | state
+            # 1. per-series spike-slab regression | all state
             if has_reg:
-                y_reg = (self.y - factor_contrib).T  # [K, T]
+                y_reg = (self.y - shared_c - series_c).T  # [K, T]
+                xs = self._x_for_series()
 
-                def per_series(kg, kb, y_k, g_k, w_k):
-                    suf = WeightedRegSuf.from_data(
-                        self.predictors, y_k, jnp.full((t_len,), w_k))
+                def per_series(kg, kb, x_k, y_k, g_k, wcol_k):
+                    suf = WeightedRegSuf.from_data(x_k, y_k, wcol_k)
                     g_k = kv_draw_indicators(kg, suf, self.reg_prior, g_k,
                                              self.reg_max_flips)
                     b_k = kv_draw_beta(kb, suf, self.reg_prior, g_k)
@@ -286,74 +492,242 @@ class MultivariateBsts:
                 gamma, beta = jax.vmap(per_series)(
                     jax.random.split(keys[0], k_dim),
                     jax.random.split(keys[1], k_dim),
-                    y_reg, state["gamma"], 1.0 / state["sigsq_obs"])
+                    xs, y_reg, state["gamma"],
+                    (w_obs / state["sigsq_obs"][None, :]).T)
                 out["gamma"], out["beta"] = gamma, beta
 
-            y_adj = self._y_adj(out)
+            y_adj = self._y_adj(out)  # y - regression
+            y_shared = y_adj - series_c  # target of the shared state
+            alpha_fac = out["alpha"][:, :j_dim]  # [T, J]
 
-            # 2. loadings rows | alpha (conjugate, masked constraint)
-            ata = out["alpha"].T @ out["alpha"]  # [J, J]
-            aty = out["alpha"].T @ y_adj  # [J, K]
+            # 2. loadings rows | factor paths (conjugate, masked,
+            #    weighted by w/sigsq when student; then the sign flip)
+            if j_dim:
+                other_c = shared_c - alpha_fac @ state["loadings"].T
+                y_fac = y_shared - other_c  # [T, K]
 
-            def draw_row(kr, aty_k, sigsq_k, m_k):
-                prec = (ata / sigsq_k
-                        + jnp.eye(j_dim) / self.loading_prior_sd**2)
-                # constrain masked-out entries to zero via huge precision
-                prec = prec + jnp.diag(jnp.where(m_k > 0, 0.0, 1e12))
-                b = (aty_k / sigsq_k) * m_k
-                return dists.mvn.sample_suf(kr, b, prec) * m_k
+                def draw_row(kr, y_k, w_k, sigsq_k, m_k):
+                    prec = (jnp.einsum("td,te,t->de", alpha_fac,
+                                       alpha_fac, w_k) / sigsq_k
+                            + jnp.eye(j_dim) / self.loading_prior_sd**2)
+                    prec = prec + jnp.diag(
+                        jnp.where(m_k > 0, 0.0, 1e12))
+                    b = jnp.einsum("td,t->d", alpha_fac,
+                                   w_k * y_k) / sigsq_k * m_k
+                    return dists.mvn.sample_suf(kr, b, prec) * m_k
 
-            loadings = jax.vmap(draw_row)(
-                jax.random.split(keys[2], k_dim), aty.T,
-                state["sigsq_obs"], mask)
-            out["loadings"] = loadings
+                loadings = jax.vmap(draw_row)(
+                    jax.random.split(keys[2], k_dim), y_fac.T, w_obs.T,
+                    state["sigsq_obs"], mask)
+                # positive-diagonal identification: flip (column j,
+                # factor j) pairs so Lambda[j, j] > 0
+                sign = jnp.where(
+                    jnp.diagonal(loadings[:j_dim, :]) < 0, -1.0, 1.0)
+                loadings = loadings * sign[None, :]
+                out["loadings"] = loadings
+                out["alpha"] = out["alpha"].at[:, :j_dim].set(
+                    alpha_fac * sign[None, :])
 
-            # 3. factor innovation variances | alpha
-            eta = out["alpha"][1:] - out["alpha"][:-1]  # [T-1, J]
-            fac_keys = jax.random.split(keys[3], j_dim)
-            factor_sigsq = jax.vmap(
-                lambda kk, ss: self.factor_sd_prior.draw_variance(
-                    kk, t_len - 1, ss))(fac_keys,
-                                        jnp.sum(eta * eta, axis=0))
-            out["factor_sigsq"] = factor_sigsq
+            # 3. adapter observation coefficients | shared alpha
+            #    (scalar conjugate per (series, block); coef[0] == 1)
+            if self.shared_blocks:
+                shared_c2 = self.shared_contrib(out)
+                for (start, dim), b, ck in zip(
+                        self._shared_slices(), self.shared_blocks,
+                        jax.random.split(keys[3],
+                                         len(self.shared_blocks))):
+                    path_b = jax.lax.dynamic_slice_in_dim(
+                        out["alpha"], start, dim, axis=1)
+                    signal = path_b @ b.z()  # [T]
+                    coef = out["obs_coef"][b.name]
+                    resid_b = (y_shared - shared_c2
+                               + signal[:, None] * coef[None, :])
 
-            # 4. per-series observation variances
-            resid = y_adj - out["alpha"] @ loadings.T
-            obs_keys = jax.random.split(keys[4], k_dim)
-            sigsq_obs = jax.vmap(
-                lambda kk, ss: self.obs_sd_prior.draw_variance(
-                    kk, t_len, ss))(obs_keys, jnp.sum(resid * resid, 0))
-            out["sigsq_obs"] = sigsq_obs
+                    def draw_coef(kc, r_k, w_k, sigsq_k):
+                        prec = (jnp.sum(w_k * signal * signal) / sigsq_k
+                                + 1.0 / self.obs_coef_prior_sd**2)
+                        mean = (jnp.sum(w_k * signal * r_k)
+                                / sigsq_k) / prec
+                        return mean + jax.random.normal(
+                            kc, (), r_k.dtype) / jnp.sqrt(prec)
 
-            # 5. factor paths | everything
+                    new_coef = jax.vmap(draw_coef)(
+                        jax.random.split(ck, k_dim), resid_b.T, w_obs.T,
+                        out["sigsq_obs"])
+                    # series 0 anchored at 1.0 for identification
+                    new_coef = new_coef.at[0].set(1.0)
+                    out["obs_coef"] = dict(out["obs_coef"])
+                    out["obs_coef"][b.name] = new_coef
+                    shared_c2 = self.shared_contrib(out)
+
+            # 4. factor innovation variances + shared block params
+            if j_dim:
+                eta = (out["alpha"][1:, :j_dim]
+                       - out["alpha"][:-1, :j_dim])
+                fac_keys = jax.random.split(keys[4], j_dim)
+                out["factor_sigsq"] = jax.vmap(
+                    lambda kk, ss: self.factor_sd_prior.draw_variance(
+                        kk, t_len - 1, ss))(
+                    fac_keys, jnp.sum(eta * eta, axis=0))
+            if self.shared_blocks:
+                new_sb = {}
+                for (start, dim), b, bk in zip(
+                        self._shared_slices(), self.shared_blocks,
+                        jax.random.split(keys[5],
+                                         len(self.shared_blocks))):
+                    path = jax.lax.dynamic_slice_in_dim(
+                        out["alpha"], start, dim, axis=1)
+                    new_sb[b.name] = b.draw_params(
+                        bk, state["shared_blocks"][b.name], path)
+                out["shared_blocks"] = new_sb
+
+            # 5. per-series proxy state + block params (reference
+            #    impute_state: "Impute both the shared and series-
+            #    specific state, each conditional on the other")
+            if self.series_blocks:
+                shared_c2 = self.shared_contrib(out)
+                y_series = (y_adj - shared_c2).T  # [K, T]
+
+                def impute_one(kk, sp_k, y_k, obs_k, sigsq_k, w_k):
+                    params_k = self._series_ssm(sp_k, sigsq_k, w_k)
+                    return simulation_smoother(kk, params_k, y_k, obs_k)
+
+                sp = state["series_blocks"]
+                # unstack: vmap carries the [K, ...] leaves
+                out["series_alpha"] = jax.vmap(impute_one)(
+                    jax.random.split(keys[6], k_dim), sp, y_series,
+                    obs.T, out["sigsq_obs"], w.T)
+                new_blocks = {}
+                for (start, dim), b, bk in zip(
+                        self._series_slices(), self.series_blocks,
+                        jax.random.split(keys[7],
+                                         len(self.series_blocks))):
+                    paths = jax.lax.dynamic_slice_in_dim(
+                        out["series_alpha"], start, dim, axis=2)
+                    new_blocks[b.name] = jax.vmap(b.draw_params)(
+                        jax.random.split(bk, k_dim), sp[b.name], paths)
+                out["series_blocks"] = new_blocks
+                series_c = self.series_contrib(out)
+
+            # 6. per-series observation variances (weighted when student)
+            shared_c2 = self.shared_contrib(out)
+            resid = y_adj - shared_c2 - series_c
+            n_k = jnp.sum(obs_f, axis=0)
+            obs_keys = jax.random.split(keys[8], k_dim)
+            out["sigsq_obs"] = jax.vmap(
+                lambda kk, nn, ss: self.obs_sd_prior.draw_variance(
+                    kk, nn, ss))(
+                obs_keys, n_k, jnp.sum(w_obs * resid * resid, axis=0))
+
+            # 7. student weights + optional nu (scale-mixture
+            #    representation of the t: resid | w ~ N(0, sigsq/w),
+            #    w ~ Gamma(nu/2, nu/2) — StudentMvssRegressionModel's
+            #    latent weights)
+            if self.student:
+                kw, kn = jax.random.split(keys[9])
+                nu = out["nu"]
+                r2 = resid * resid / out["sigsq_obs"][None, :]
+                w_new = dists.gamma.sample(
+                    kw, 0.5 * (nu + 1.0) * jnp.ones_like(r2),
+                    0.5 * (nu + jnp.where(obs, r2, 0.0)))
+                # unobserved points: prior draw is fine; keep them at 1
+                w_new = jnp.where(obs, w_new, 1.0)
+                out["weights"] = w_new
+                if self.sample_nu:
+                    n_obs_total = jnp.sum(obs_f)
+                    lw = jnp.where(obs, jnp.log(w_new), 0.0)
+
+                    def nu_logpost(v):
+                        half = 0.5 * v
+                        return (n_obs_total
+                                * (half * jnp.log(half)
+                                   - jax.scipy.special.gammaln(half))
+                                + (half - 1.0) * jnp.sum(lw)
+                                - half * jnp.sum(jnp.where(
+                                    obs, w_new, 0.0))
+                                - self.nu_prior_rate * v)
+
+                    out["nu"] = slice_step(kn, nu, nu_logpost, width=2.0,
+                                           lower=0.5, upper=500.0)
+
+            # 8. shared state | everything
+            key_alpha = jax.random.fold_in(key, 101)
             out["alpha"] = mv_simulation_smoother(
-                keys[5], self.ssm_params(out), y_adj)
+                key_alpha, self.ssm_params(out),
+                self._y_adj(out) - self.series_contrib(out), obs)
             return out
 
         return sweep
 
     def log_lik(self, state):
-        return mv_kalman_filter(self.ssm_params(state),
-                                self._y_adj(state)).loglik
+        """Log-likelihood with the SHARED state integrated out
+        (conditional on regression, per-series state, and weights)."""
+        return mv_kalman_filter(
+            self.ssm_params(state),
+            self._y_adj(state) - self.series_contrib(state),
+            self._obs_mask()).loglik
 
     def predict(self, key, state, horizon: int, future_predictors=None):
-        """Simulate y_{T+1:T+h} [h, K] given one posterior draw."""
+        """Simulate y_{T+1:T+h} [h, K] given one posterior draw.
+        future_predictors: [h, p] or [K, h, p] to match `predictors`.
+        Reference simulate_forecast
+        (MultivariateStateSpaceRegressionModel.hpp:168-190)."""
+        k_shared, k_series, k_eps, k_w = jax.random.split(key, 4)
+        z_shared = self._shared_z(state)
         params = self.ssm_params(state)
         alpha_t = state["alpha"][-1]
-        j = self.num_factors
+        qc = jnp.linalg.cholesky(
+            params.q_mat
+            + 1e-12 * jnp.eye(params.q_mat.shape[0]))
 
-        def step(alpha, k):
-            k_eta, k_eps = jax.random.split(k)
-            eta = (jnp.sqrt(state["factor_sigsq"])
-                   * jax.random.normal(k_eta, (j,)))
-            alpha_next = alpha + eta
-            y_next = (state["loadings"] @ alpha_next
-                      + jnp.sqrt(state["sigsq_obs"])
-                      * jax.random.normal(k_eps, (self.num_series,)))
-            return alpha_next, y_next
+        def shared_step(alpha, k):
+            eta = qc @ jax.random.normal(k, (params.q_mat.shape[0],))
+            alpha_next = params.t_mat @ alpha + params.r_mat @ eta
+            return alpha_next, alpha_next
 
-        _, ys = jax.lax.scan(step, alpha_t,
-                             jax.random.split(key, horizon))
+        _, shared_alphas = jax.lax.scan(
+            shared_step, alpha_t, jax.random.split(k_shared, horizon))
+        ys = shared_alphas @ z_shared.T  # [h, K]
+
+        if self.series_blocks:
+            z_ser = self._series_z()
+
+            def one_series(kk, sp_k, alpha_last):
+                p_k = self._series_ssm(sp_k, jnp.asarray(1.0),
+                                       jnp.asarray(1.0))
+                qck = jnp.linalg.cholesky(
+                    p_k.q_mat + 1e-12 * jnp.eye(p_k.q_mat.shape[0]))
+
+                def step(a, k2):
+                    eta = qck @ jax.random.normal(
+                        k2, (p_k.q_mat.shape[0],))
+                    a_next = p_k.t_mat @ a + p_k.r_mat @ eta
+                    return a_next, a_next
+
+                _, a_path = jax.lax.scan(
+                    step, alpha_last, jax.random.split(kk, horizon))
+                return a_path @ z_ser  # [h]
+
+            contrib = jax.vmap(one_series)(
+                jax.random.split(k_series, self.num_series),
+                state["series_blocks"], state["series_alpha"][:, -1])
+            ys = ys + contrib.T
+
+        sig = jnp.sqrt(state["sigsq_obs"])
+        eps = sig[None, :] * jax.random.normal(
+            k_eps, (horizon, self.num_series))
+        if self.student:
+            w_f = dists.gamma.sample(
+                k_w, 0.5 * state["nu"] * jnp.ones((horizon,
+                                                   self.num_series)),
+                0.5 * state["nu"] * jnp.ones((horizon,
+                                              self.num_series)))
+            eps = eps / jnp.sqrt(w_f)
+        ys = ys + eps
         if future_predictors is not None:
-            ys = ys + future_predictors @ state["beta"].T
+            if self._series_specific_x:
+                ys = ys + jnp.einsum("khp,kp->hk", future_predictors,
+                                     state["beta"])
+            else:
+                ys = ys + future_predictors @ state["beta"].T
         return ys

@@ -146,3 +146,184 @@ def test_mbsts_predict_shapes(rng_key):
     ys = model.predict(jax.random.key(2), state, horizon=7)
     assert ys.shape == (7, 2)
     assert bool(jnp.all(jnp.isfinite(ys)))
+
+
+# --- round 3: per-series state, series-specific designs, student errors,
+# --- shared scalar-adapter blocks (reference ScalarStateModelAdapter.hpp:49,
+# --- StudentMvssRegressionModel.hpp:140, ProxyScalarStateSpaceModel)
+
+import pytest
+
+from boom_tpu.statespace.state_models import Seasonal
+
+
+@pytest.mark.slow
+def test_mbsts_series_specific_state_and_designs(rng_key):
+    """Shared factor + per-series seasonal + series-specific regression
+    designs: the reference's add_series_specific_state +
+    IndependentRegressionModels usage idiom
+    (MultivariateStateSpaceRegressionModel.hpp:120-133)."""
+    k1, k2, k3, k4 = jax.random.split(rng_key, 4)
+    t_len, k_dim, p = 180, 3, 4
+    factor = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,)))
+    lam_true = jnp.asarray([1.0, 0.8, 1.2])
+    x = jax.random.normal(k2, (k_dim, t_len, p))
+    beta_true = jnp.zeros((k_dim, p)).at[:, 0].set(
+        jnp.asarray([2.0, -1.0, 0.5]))
+    # a different seasonal phase per series => genuinely per-series state
+    tt = jnp.arange(t_len)
+    seas_true = jnp.stack(
+        [0.8 * jnp.sin(2 * jnp.pi * (tt / 12.0 + k / 3.0))
+         for k in range(k_dim)], axis=1)
+    y = (factor[:, None] * lam_true[None, :]
+         + jnp.einsum("ktp,kp->tk", x, beta_true) + seas_true
+         + 0.3 * jax.random.normal(k3, (t_len, k_dim)))
+    from boom_tpu.models.glm.regression import SpikeSlabPrior
+
+    prior = SpikeSlabPrior.from_data(
+        x[0], y[:, 0], expected_model_size=1.0,
+        prior_information_weight=0.01)
+    model = MultivariateBsts(
+        y=y, num_factors=1, predictors=x, reg_prior=prior,
+        series_blocks=[Seasonal.default(y[:, 0], nseasons=12)])
+    kern = model.kernel()
+
+    @jax.jit
+    def run(key):
+        st = model.init_state(key)
+
+        def step(s, k):
+            s = kern(k, s)
+            return s, (s["beta"], self_contrib(s))
+
+        def self_contrib(s):
+            return model.series_contrib(s)
+
+        return jax.lax.scan(step, st,
+                            jax.random.split(jax.random.key(5), 400))
+
+    _, (betas, seas_fit) = run(k4)
+    b_est = np.asarray(jnp.mean(betas[200:], 0))
+    np.testing.assert_allclose(b_est[:, 0], [2.0, -1.0, 0.5], atol=0.2)
+    assert np.all(np.abs(b_est[:, 1:]) < 0.15), b_est
+    seas_est = np.asarray(jnp.mean(seas_fit[200:], 0))
+    rmse = float(np.sqrt(np.mean((seas_est - np.asarray(seas_true)) ** 2)))
+    assert rmse < 0.3, rmse
+
+
+@pytest.mark.slow
+def test_mbsts_student_errors_downweight_outliers(rng_key):
+    """Student observation errors (StudentMvssRegressionModel.hpp:140):
+    with planted outliers, the student model's sigsq stays near the
+    clean-noise truth and the latent weights at outliers are small."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    t_len, k_dim = 200, 3
+    factor = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,)))
+    lam_true = jnp.asarray([1.0, 0.8, 1.2])
+    y = (factor[:, None] * lam_true[None, :]
+         + 0.3 * jax.random.normal(k2, (t_len, k_dim)))
+    # plant gross outliers at known positions in series 0
+    outlier_ts = jnp.asarray([40, 90, 140])
+    y = y.at[outlier_ts, 0].add(jnp.asarray([6.0, -6.0, 6.0]))
+    model = MultivariateBsts(y=y, num_factors=1, student_df=4.0,
+                             sample_nu=True)
+    kern = model.kernel()
+
+    @jax.jit
+    def run(key):
+        st = model.init_state(key)
+
+        def step(s, k):
+            s = kern(k, s)
+            return s, (s["sigsq_obs"], s["weights"], s["nu"])
+
+        return jax.lax.scan(step, st,
+                            jax.random.split(jax.random.key(6), 400))
+
+    _, (sigsqs, weights, nus) = run(k3)
+    sig_est = np.sqrt(np.asarray(jnp.mean(sigsqs[200:], 0)))
+    # gaussian fit would inflate sigma of series 0 well above 0.55
+    assert np.all(sig_est < 0.55), sig_est
+    w_mean = np.asarray(jnp.mean(weights[200:], 0))  # [T, K]
+    w_out = w_mean[np.asarray(outlier_ts), 0]
+    w_typical = np.median(w_mean[:, 0])
+    assert np.all(w_out < 0.4 * w_typical), (w_out, w_typical)
+    assert np.all(np.isfinite(np.asarray(nus)))
+
+
+@pytest.mark.slow
+def test_mbsts_shared_scalar_adapter(rng_key):
+    """ScalarStateModelAdapter.hpp:49: y[t,k] = coef[k] * (Z alpha_t) —
+    a shared seasonal loads on each series with its own coefficient
+    (coef[0] anchored at 1)."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    t_len, k_dim = 180, 3
+    seas = 1.5 * jnp.sin(jnp.arange(t_len) * 2 * jnp.pi / 12)
+    coef_true = jnp.asarray([1.0, 0.6, 1.4])
+    factor = jnp.cumsum(0.25 * jax.random.normal(k1, (t_len,)))
+    lam = jnp.asarray([1.0, 0.8, 1.2])
+    y = (factor[:, None] * lam[None, :]
+         + seas[:, None] * coef_true[None, :]
+         + 0.3 * jax.random.normal(k2, (t_len, k_dim)))
+    model = MultivariateBsts(
+        y=y, num_factors=1,
+        shared_blocks=[Seasonal.default(y[:, 0], nseasons=12)])
+    kern = model.kernel()
+
+    @jax.jit
+    def run(key):
+        st = model.init_state(key)
+
+        def step(s, k):
+            s = kern(k, s)
+            return s, s["obs_coef"]["seasonal_12"]
+
+        return jax.lax.scan(step, st,
+                            jax.random.split(jax.random.key(7), 400))
+
+    _, coefs = run(k3)
+    c_est = np.asarray(jnp.mean(coefs[200:], 0))
+    np.testing.assert_allclose(c_est, np.asarray(coef_true), atol=0.2)
+    assert c_est[0] == 1.0  # identification anchor
+
+
+def test_mbsts_positive_diagonal_identification(rng_key):
+    """Loadings diagonal is constrained positive every sweep (fixes the
+    round-2 soft-identification weakness: sign switching silently
+    widened posterior checks)."""
+    t_len, k_dim = 80, 3
+    y = jax.random.normal(rng_key, (t_len, k_dim))
+    model = MultivariateBsts(y=y, num_factors=2)
+    st = model.init_state(jax.random.key(1))
+    kern = jax.jit(model.kernel())
+    for i in range(30):
+        st = kern(jax.random.key(50 + i), st)
+        diag = np.asarray(jnp.diagonal(st["loadings"][:2, :]))
+        assert np.all(diag > 0), diag
+
+
+def test_mbsts_missing_observations(rng_key):
+    """Ragged observation panels: masked entries don't poison the fit
+    (the reference's observed_ machinery)."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    t_len, k_dim = 120, 3
+    factor = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,)))
+    lam = jnp.asarray([1.0, 0.8, 1.2])
+    y = factor[:, None] * lam[None, :] + 0.3 * jax.random.normal(
+        k2, (t_len, k_dim))
+    observed = jnp.ones((t_len, k_dim), bool)
+    observed = observed.at[60:, 2].set(False)  # series 2 stops early
+    y = jnp.where(observed, y, jnp.nan)  # poison masked entries
+    y = jnp.nan_to_num(y, nan=0.0)
+    model = MultivariateBsts(y=y, num_factors=1, observed=observed)
+    st = model.init_state(k3)
+    kern = jax.jit(model.kernel())
+    for i in range(50):
+        st = kern(jax.random.key(200 + i), st)
+    assert bool(jnp.all(jnp.isfinite(st["alpha"])))
+    assert bool(jnp.all(jnp.isfinite(st["loadings"])))
+    # common component still tracks the factor on observed series
+    fit = np.asarray(st["alpha"] @ st["loadings"].T)
+    rmse = float(np.sqrt(np.mean(
+        (fit[:, 0] - np.asarray(factor * lam[0])) ** 2)))
+    assert rmse < 0.5, rmse

@@ -571,3 +571,112 @@ class MixedFrequencyModel:
             lambda k, st: self._model.predict(
                 k, st, horizon, future_agg=fut_agg, **kw)))
         return fn(keys, sub)
+
+
+@dataclasses.dataclass
+class DynregModel:
+    """Wide dynamic regression front end (reference
+    Interfaces/python/dynreg/BayesBoom/dynreg/dynreg.py
+    SparseDynamicRegressionModel): time-varying coefficients with
+    Markov spike-slab selection.
+
+        model = DynregModel(prior_inclusion_prob=0.1)
+        model.fit(x, y, timestamps=ts, niter=1000)
+        model.coefficient_draws()       # [draws, T, p]
+        model.inclusion_probs()         # [T, p]
+        model.predict(x_future)
+    """
+
+    prior_inclusion_prob: float = 0.2
+    expected_run_length: float = 20.0
+    residual_sd_guess: float | None = None
+    innovation_sd_guess: float = 0.1
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, x, y, timestamps=None, niter=1000, num_chains=2,
+            burn=200, seed=0, **model_kw):
+        """x: [N, p] in long format with integer `timestamps` mapping
+        rows to time points (reference dynreg's formula/timestamps
+        interface), or [T, p] / [T, n, p] pre-gridded."""
+        from boom_tpu.statespace.dynreg import (
+            MarkovInclusionPrior,
+            SparseDynamicRegression,
+        )
+        from boom_tpu.statespace.state_models import SdPrior
+
+        x = jnp.asarray(x, jnp.result_type(float))
+        y = jnp.asarray(y, jnp.result_type(float))
+        if timestamps is not None:
+            ts = np.asarray(timestamps)
+            uniq = np.unique(ts)
+            t_len = len(uniq)
+            remap = {v: i for i, v in enumerate(uniq)}
+            idx = np.asarray([remap[v] for v in ts])
+            counts = np.bincount(idx, minlength=t_len)
+            n_max = int(counts.max())
+            p = x.shape[1]
+            xg = np.zeros((t_len, n_max, p))
+            yg = np.zeros((t_len, n_max))
+            mg = np.zeros((t_len, n_max), bool)
+            slot = np.zeros(t_len, int)
+            for r in range(x.shape[0]):
+                t = idx[r]
+                xg[t, slot[t]] = np.asarray(x[r])
+                yg[t, slot[t]] = np.asarray(y[r])
+                mg[t, slot[t]] = True
+                slot[t] += 1
+            x, y = jnp.asarray(xg), jnp.asarray(yg)
+            model_kw.setdefault("obs_mask", jnp.asarray(mg))
+        incl = MarkovInclusionPrior(
+            prior_inclusion_prob=self.prior_inclusion_prob,
+            expected_run_length=self.expected_run_length)
+        kw = dict(model_kw)
+        if self.residual_sd_guess is not None:
+            kw.setdefault("residual_prior",
+                          SdPrior(self.residual_sd_guess, 1.0))
+        kw.setdefault(
+            "innovation_prior",
+            SdPrior(self.innovation_sd_guess, 1.0, upper_limit=10.0))
+        self._model = SparseDynamicRegression(
+            x=x, y=y, inclusion_prior=incl, **kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn,
+            extract=lambda s: {"gamma": s["gamma"], "beta": s["beta"],
+                               "sigsq": s["sigsq"],
+                               "tau_sq": s["tau_sq"]})
+        return self
+
+    def coefficient_draws(self):
+        """[total_draws, T, p] posterior coefficient paths."""
+        return np.asarray(self._result.stacked()["beta"])
+
+    def inclusion_probs(self):
+        """[T, p] posterior inclusion probabilities."""
+        return np.asarray(self._result.stacked()["gamma"]).mean(0)
+
+    def residual_sd_draws(self):
+        return np.sqrt(np.asarray(self._result.stacked()["sigsq"]))
+
+    def summary(self):
+        g = self._result.stacked()
+        return {
+            "residual_sd_mean": float(np.mean(self.residual_sd_draws())),
+            "mean_model_size": float(
+                np.asarray(g["gamma"]).mean(0).sum(-1).mean()),
+            "rhat_sigsq": float(np.asarray(
+                diagnostics.potential_scale_reduction(
+                    self._result.draws["sigsq"][..., None]))[0]),
+        }
+
+    def predict(self, x_future, seed=0, max_draws=200):
+        """Posterior-predictive draws of y over the horizon: [*, h]."""
+        flat = self._result.final_state
+        chains = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        keys = jax.random.split(jax.random.key(seed), chains)
+        x_future = jnp.asarray(x_future, jnp.result_type(float))
+        fn = jax.jit(jax.vmap(
+            lambda k, st: self._model.predict(k, st, x_future)))
+        return fn(keys, flat)

@@ -10,6 +10,10 @@ from boom_tpu.statespace.bsts import (
     holdout_prediction_errors,
     one_step_prediction_errors,
 )
+from boom_tpu.statespace.dynreg import (
+    MarkovInclusionPrior,
+    SparseDynamicRegression,
+)
 from boom_tpu.statespace.families import NonGaussianBsts
 from boom_tpu.statespace.multivariate import (
     MultivariateBsts,

@@ -32,11 +32,30 @@ except Exception:
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: sweep-kernel compiles dominate test wall
+# time on small hosts; cached compiles cut repeat suite runs several-fold.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/boom_tpu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() >= 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+from _slow_manifest import SLOW_TESTS  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from the duration-derived manifest, plus
+    any inline @pytest.mark.slow decorations. Smoke tier:
+    `pytest -m "not slow"` (< 5 min); full suite ~60 min (documented in
+    README)."""
+    for item in items:
+        nodeid = item.nodeid.split("[")[0]
+        if item.nodeid in SLOW_TESTS or nodeid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture

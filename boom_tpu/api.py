@@ -680,3 +680,19 @@ class DynregModel:
         fn = jax.jit(jax.vmap(
             lambda k, st: self._model.predict(k, st, x_future)))
         return fn(keys, flat)
+
+
+# front ends for the remaining reference python packages (mixtures,
+# impute, factormodels, bandits, nnet, mlogit-spike) live in
+# boom_tpu.frontends; re-exported here for one-stop discovery
+from boom_tpu.frontends import (  # noqa: E402,F401
+    BinomialBandit,
+    DirichletProcessMvn,
+    FiniteMixture,
+    LinearBandit,
+    MixedDataImputer,
+    MlmSpike,
+    MultinomialFactorModel,
+    NnetRegression,
+    PoissonFactorModel,
+)

@@ -1,0 +1,402 @@
+"""User-facing front ends beyond spikeslab/bsts (see api.py for those).
+
+Reference packages mirrored here, one class per reference user surface:
+  * MlmSpike — Interfaces/python/spikeslab/BayesBoom/spikeslab/
+    mlogit_spike.py (multinomial-logit spike-slab regression)
+  * FiniteMixture — Interfaces/python/mixtures/BayesBoom/mixtures/
+    finite_mixture.py:10 (FiniteMixtureModel)
+  * DirichletProcessMvn — mixtures/dirichlet_process.py:8
+  * MixedDataImputer — Interfaces/python/impute/BayesBoom/impute/
+    impute.py:13
+  * PoissonFactorModel / MultinomialFactorModel —
+    Interfaces/python/factormodels/BayesBoom/factormodels/
+  * BinomialBandit / LinearBandit — Interfaces/python/bandits/
+  * NnetRegression — Interfaces/R/BoomSpikeSlab nnet.R
+    (GaussianFeedForwardNeuralNetwork front end)
+
+Every class follows the same ergonomics as api.py: numpy in / numpy
+out, one jitted training program, fit() -> self, then summaries /
+predictions. These wrap the functional models in boom_tpu.models.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boom_tpu.inference.driver import McmcResult, run_mcmc
+
+
+def _asfloat(a):
+    return jnp.asarray(a, jnp.result_type(float))
+
+
+@dataclasses.dataclass
+class MlmSpike:
+    """Multinomial logit regression with spike-and-slab priors
+    (reference mlogit_spike.py; R BoomSpikeSlab mlm.spike)."""
+
+    expected_model_size: float = 1.0
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, x, choice, num_classes=None, niter=500, num_chains=2,
+            burn=200, seed=0, **kw):
+        from boom_tpu.models.glm.mlogit import MultinomialLogitSpikeSlab
+
+        x = _asfloat(x)
+        choice = jnp.asarray(choice, jnp.int32)
+        if num_classes is None:
+            num_classes = int(choice.max()) + 1
+        self._model = MultinomialLogitSpikeSlab.from_data(
+            x, choice, num_classes,
+            expected_model_size=self.expected_model_size, **kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    def coefficient_draws(self):
+        """[draws, K-1, p]; class 0 is the baseline with zero betas."""
+        return np.asarray(self._result.stacked()["beta"])
+
+    def inclusion_probs(self):
+        """[K-1, p] posterior inclusion probabilities."""
+        return np.asarray(self._result.stacked()["gamma"]).mean(0)
+
+    def predict_probs(self, x, max_draws=200):
+        """Posterior-mean class probabilities [n, K]."""
+        x = _asfloat(x)
+        beta = self._result.stacked()["beta"]
+        total = beta.shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+
+        def probs(b):
+            eta = jnp.concatenate(
+                [jnp.zeros((x.shape[0], 1)), x @ b.T], axis=1)
+            return jax.nn.softmax(eta, axis=-1)
+
+        return np.asarray(jnp.mean(jax.vmap(probs)(beta[idx]), 0))
+
+
+@dataclasses.dataclass
+class FiniteMixture:
+    """Finite Gaussian mixture front end (reference
+    FiniteMixtureModel, mixtures/finite_mixture.py:10)."""
+
+    num_components: int = 2
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, y, niter=1000, num_chains=4, burn=300, seed=0, **kw):
+        from boom_tpu.models.mixtures import GaussianMixtureModel
+
+        self._model = GaussianMixtureModel(
+            y=_asfloat(y), num_components=self.num_components, **kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    def components(self):
+        """Label-switching-resolved posterior summaries per component."""
+        from boom_tpu.models.mixtures import relabel_sorted
+
+        d = self._result.draws
+        mu, sigsq, w = relabel_sorted(d["mu"], d["sigsq"], d["weights"])
+        k = self.num_components
+        mu = np.asarray(mu).reshape(-1, k)
+        sd = np.sqrt(np.asarray(sigsq).reshape(-1, k))
+        w = np.asarray(w).reshape(-1, k)
+        return [{"mean": float(mu[:, j].mean()),
+                 "sd": float(sd[:, j].mean()),
+                 "weight": float(w[:, j].mean())} for j in range(k)]
+
+    def cluster_probs(self, y=None):
+        """Posterior-mean responsibilities [n, K] (final states)."""
+        model = self._model if y is None else dataclasses.replace(
+            self._model, y=_asfloat(y))
+        final = self._result.final_state
+
+        def resp(st):
+            lp = model.responsibilities(st)
+            return jax.nn.softmax(lp, axis=-1)
+
+        return np.asarray(jnp.mean(jax.vmap(resp)(final), 0))
+
+
+@dataclasses.dataclass
+class DirichletProcessMvn:
+    """DP mixture of multivariate Gaussians (reference
+    DirichletProcessMvn, mixtures/dirichlet_process.py:8) via the
+    collapsed CRP sampler."""
+
+    max_components: int = 20
+    alpha: float = 1.0
+    _model: Any = None
+    _draws: list = dataclasses.field(default_factory=list)
+
+    def fit(self, y, niter=300, burn=200, seed=0, **kw):
+        from boom_tpu.models.dirichlet_process import DpMvnCollapsed
+
+        y = _asfloat(y)
+        self._model = DpMvnCollapsed(
+            y=y, max_components=self.max_components, alpha=self.alpha,
+            **kw)
+        kern = jax.jit(self._model.kernel())
+        state = {"z": jnp.zeros((y.shape[0],), jnp.int32)}
+        key = jax.random.key(seed)
+        self._draws = []
+        for i in range(niter):
+            state = kern(jax.random.fold_in(key, i), state)
+            if i >= burn:
+                self._draws.append(np.asarray(state["z"]))
+        self._final = state
+        return self
+
+    def num_cluster_draws(self):
+        return np.asarray([len(np.unique(z)) for z in self._draws])
+
+    def cluster_labels(self):
+        """Final-state hard assignments [n]."""
+        return np.asarray(self._final["z"])
+
+
+@dataclasses.dataclass
+class MixedDataImputer:
+    """Missing-data imputation for mixed numeric/categorical frames
+    (reference Interfaces/python/impute/BayesBoom/impute/impute.py:13,
+    engine Models/Impute/MixedDataImputer.hpp:612)."""
+
+    num_clusters: int = 3
+    error_correction: bool = False
+    _model: Any = None
+    _finals: Any = None
+
+    def fit(self, numeric, categorical, num_levels, atoms=None,
+            niter=300, num_chains=2, burn=300, seed=0, **kw):
+        """numeric: [n, d_num] with NaN at missing cells; categorical:
+        [n, d_cat] int codes with negatives at missing cells."""
+        from boom_tpu.models.mixed_impute import (
+            MixedDataImputer as _Engine,
+        )
+
+        self._model = _Engine.from_frame(
+            np.asarray(numeric, float), np.asarray(categorical),
+            num_levels=tuple(num_levels), atoms=atoms,
+            num_clusters=self.num_clusters,
+            error_correction=self.error_correction, **kw)
+        res = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        self._finals = res.final_state
+        return self
+
+    def imputed_frames(self):
+        """One completed (numeric, categorical) frame per chain."""
+        chains = jax.tree_util.tree_leaves(self._finals)[0].shape[0]
+        outs = []
+        for c in range(chains):
+            st = jax.tree_util.tree_map(lambda a: a[c], self._finals)
+            num, cat = self._model.imputed_frame(st)
+            outs.append((np.asarray(num), np.asarray(cat)))
+        return outs
+
+    def imputed_frame(self):
+        """Across-chain average numeric frame + modal categorical."""
+        frames = self.imputed_frames()
+        num = np.mean([f[0] for f in frames], axis=0)
+        cats = np.stack([f[1] for f in frames])
+        cat = np.apply_along_axis(
+            lambda v: np.bincount(v).argmax(), 0, cats)
+        return num, cat
+
+
+@dataclasses.dataclass
+class PoissonFactorModel:
+    """Audience-measurement Poisson factor model front end (reference
+    factormodels/poisson_factor_model.py; engine
+    Models/FactorModels/PoissonFactorModel.hpp)."""
+
+    num_classes: int = 2
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, counts, exposure=None, niter=500, num_chains=2,
+            burn=200, seed=0, **kw):
+        from boom_tpu.models.factor import PoissonFactorModel as _M
+
+        self._model = _M(
+            counts=_asfloat(counts), num_classes=self.num_classes,
+            exposure=None if exposure is None else _asfloat(exposure),
+            **kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    def site_rate_draws(self):
+        """[draws, sites, classes] Poisson rate draws."""
+        return np.asarray(self._result.stacked()["lam"])
+
+    def class_membership_probs(self, counts=None):
+        """Posterior-mean visitor class probabilities [V, K].
+
+        Chains can settle on different class labelings (the factor-model
+        analog of mixture label switching), so each chain's columns are
+        aligned to chain 0 by linear assignment on membership agreement
+        before averaging (identify_permutation analog,
+        Models/Mixtures/PosteriorSamplers/identify_permutation.cpp)."""
+        from boom_tpu.numopt import linear_assignment
+
+        model = self._model if counts is None else dataclasses.replace(
+            self._model, counts=_asfloat(counts))
+        final = self._result.final_state
+
+        def probs(st):
+            return jax.nn.softmax(model.class_logits(st), axis=-1)
+
+        per_chain = np.asarray(jax.vmap(probs)(final))  # [chains, V, K]
+        ref = per_chain[0]
+        aligned = [ref]
+        for c in range(1, per_chain.shape[0]):
+            # cost[j, k] = -agreement between chain-c class j and ref class k
+            agree = np.einsum("vj,vk->jk", per_chain[c], ref)
+            perm = linear_assignment(-agree)  # chain class j -> ref class perm[j]
+            inv = np.argsort(perm)  # ref class k <- chain class inv[k]
+            aligned.append(per_chain[c][:, inv])
+        return np.mean(aligned, axis=0)
+
+
+@dataclasses.dataclass
+class MultinomialFactorModel(PoissonFactorModel):
+    """Multinomial variant (reference
+    factormodels/multinomial_factor_model.py:9)."""
+
+    def fit(self, counts, niter=500, num_chains=2, burn=200, seed=0,
+            **kw):
+        from boom_tpu.models.factor import MultinomialFactorModel as _M
+
+        self._model = _M(counts=_asfloat(counts),
+                         num_classes=self.num_classes, **kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    def site_profile_draws(self):
+        """[draws, sites, classes] visit-profile draws."""
+        return np.asarray(self._result.stacked()["profiles"])
+
+
+class BinomialBandit:
+    """Thompson-sampling front end for Bernoulli rewards (reference
+    bandits/binomial_bandit.py; Bandits/BinomialBandit.hpp). Streaming:
+    update() with observed (arm, reward), draw_arm() to act."""
+
+    def __init__(self, num_arms, prior_a=1.0, prior_b=1.0, seed=0):
+        from boom_tpu.models.bandits import BinomialBandit as _B
+
+        self._model = _B(num_arms=num_arms, prior_a=prior_a,
+                         prior_b=prior_b)
+        self._state = self._model.init_state()
+        self._key = jax.random.key(seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def update(self, arm, reward):
+        self._state = self._model.update(self._state, int(arm),
+                                         float(reward))
+        return self
+
+    def draw_arm(self):
+        return int(self._model.draw_arm(self._next_key(), self._state))
+
+    def optimal_arm_probabilities(self, num_draws=2000):
+        return np.asarray(self._model.optimal_arm_probabilities(
+            self._next_key(), self._state, num_draws=num_draws))
+
+
+class LinearBandit:
+    """Thompson sampling over a factorial experiment with linear
+    Gaussian rewards (reference bandits/linear_bandit_encoder.py +
+    Bandits/LinearBanditEncoder.hpp)."""
+
+    def __init__(self, factor_levels, context_dim=0, seed=0, **kw):
+        from boom_tpu.models.bandits import LinearBandit as _B
+
+        self._model = _B(factor_levels=tuple(factor_levels),
+                         context_dim=context_dim, **kw)
+        self._state = self._model.init_state()
+        self._key = jax.random.key(seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def update(self, arm, reward, context=None):
+        self._state = self._model.update(self._state, int(arm),
+                                         float(reward), context=context)
+        return self
+
+    def draw_arm(self, context=None):
+        return int(self._model.draw_arm(self._next_key(), self._state,
+                                        context=context))
+
+    def optimal_arm_probabilities(self, context=None, num_draws=2000):
+        return np.asarray(self._model.optimal_arm_probabilities(
+            self._next_key(), self._state, context=context,
+            num_draws=num_draws))
+
+
+@dataclasses.dataclass
+class NnetRegression:
+    """Bayesian feed-forward regression front end (reference
+    BoomSpikeSlab nnet.R / Models/Nnet
+    GaussianFeedForwardNeuralNetwork)."""
+
+    hidden: int = 8
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, x, y, niter=800, num_chains=2, burn=400, seed=0,
+            **kw):
+        from boom_tpu.models.nnet import FeedForwardRegression
+
+        self._model = FeedForwardRegression(
+            x=_asfloat(x), y=_asfloat(y), hidden=self.hidden, **kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn,
+            extract=lambda s: {"weights": s["weights"],
+                               "sigsq": s["sigsq"]})
+        return self
+
+    def predict(self, x, max_draws=200):
+        """Posterior-mean prediction [n] and sd [n]."""
+        x = _asfloat(x)
+        w = self._result.stacked()["weights"]
+        total = jax.tree_util.tree_leaves(w)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], w)
+        preds = jax.vmap(
+            lambda ws: self._model.forward(ws, x))(sub)
+        return (np.asarray(jnp.mean(preds, 0)),
+                np.asarray(jnp.std(preds, 0)))
+
+    def residual_sd_draws(self):
+        return np.sqrt(np.asarray(self._result.stacked()["sigsq"]))

@@ -42,16 +42,26 @@ from boom_tpu.models.glm.ssvs import (
 def impute_mnl_utilities(key, eta, choice):
     """Sample -log T_ij given choices. eta: [n, K]; choice: [n] ints.
 
-    Returns neg_log_t [n, K]."""
+    Returns neg_log_t [n, K].
+
+    Everything stays in log space: the naive form t = E1/sum(exp(eta))
+    + E2/exp(eta) overflows exp(eta) and can hit -log(0) in f32 on TPU,
+    and one NaN here self-perpetuates through beta -> eta forever. With
+    log-space arithmetic the kernel is stable at any eta."""
     k1, k2 = jax.random.split(key)
     dtype = eta.dtype
-    lam = jnp.exp(eta)
-    total = jnp.sum(lam, -1, keepdims=True)
-    s = jax.random.exponential(k1, (eta.shape[0], 1), dtype) / total
-    extra = jax.random.exponential(k2, eta.shape, dtype) / lam
+    tiny = jnp.finfo(dtype).tiny
+    lse = jax.scipy.special.logsumexp(eta, axis=-1, keepdims=True)
+    # log of Exponential(1) variates; clamp away the measure-zero 0 draw
+    log_e1 = jnp.log(jnp.maximum(
+        jax.random.exponential(k1, (eta.shape[0], 1), dtype), tiny))
+    log_e2 = jnp.log(jnp.maximum(
+        jax.random.exponential(k2, eta.shape, dtype), tiny))
+    log_s = log_e1 - lse                       # log(E1 / total)
+    log_extra = log_e2 - eta                   # log(E2 / lam)
     is_choice = jax.nn.one_hot(choice, eta.shape[-1], dtype=bool)
-    t = jnp.where(is_choice, s, s + extra)
-    return -jnp.log(t)
+    log_t = jnp.where(is_choice, log_s, jnp.logaddexp(log_s, log_extra))
+    return -log_t
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,9 +17,12 @@ from boom_tpu.models.factor import (
 from boom_tpu.models.gp import GpRegression, HierarchicalGpRegression
 from boom_tpu.models.graphical import DiscreteBayesNet, Node
 from boom_tpu.models.hierarchical import (
+    HierarchicalDirichlet,
     HierarchicalGamma,
     HierarchicalGaussian,
+    HierarchicalGaussianRegression,
     HierarchicalPoisson,
+    HierarchicalZeroInflatedGamma,
 )
 from boom_tpu.models.hmm import GaussianHmm
 from boom_tpu.models.impute import GaussianCopulaImputer

@@ -189,3 +189,314 @@ class HierarchicalGamma:
             return {"mu": nu / theta, "nu": nu}
 
         return sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class HierarchicalDirichlet:
+    """Groups of multinomial counts with a shared Dirichlet prior:
+    pi_g ~ Dirichlet(nu) with nu = alpha * phi (reference
+    Models/Hierarchical/HierarchicalDirichletModel.hpp:49; nu drawn by
+    coordinate slice as in MultinomialDirichletSampler +
+    DirichletPosteriorSampler).
+
+    State: pi [G, K] group probabilities, nu [K] (alpha = sum nu,
+    phi = nu / alpha)."""
+
+    counts: jax.Array  # [G, K]
+    nu_prior_rate: float = 0.1  # exponential prior on each nu_k
+
+    @property
+    def num_groups(self):
+        return self.counts.shape[0]
+
+    @property
+    def dim(self):
+        return self.counts.shape[1]
+
+    def init_state(self, key):
+        tot = jnp.sum(self.counts, 1, keepdims=True)
+        pi = (self.counts + 1.0) / (tot + self.dim)
+        nu = jnp.mean(pi, 0) * 2.0 * self.dim
+        return {"pi": pi, "nu": nu}
+
+    def kernel(self):
+        g, k = self.counts.shape
+
+        def sweep(key, state):
+            kp, kn = jax.random.split(key)
+            # 1. group probabilities | nu (batched conjugate Dirichlet)
+            pi = dists.dirichlet.sample(kp, state["nu"] + self.counts)
+            sum_log_pi = jnp.sum(jnp.log(jnp.maximum(pi, 1e-300)), 0)
+
+            # 2. nu | pi: coordinate slice sweep (coords couple through
+            # lgamma(sum nu), so one-at-a-time with a fixed-trip scan)
+            def body(nu, inp):
+                j, kj = inp
+                ej = jax.nn.one_hot(j, k, dtype=nu.dtype)
+
+                def target(v):
+                    nu_j = nu * (1.0 - ej) + v * ej
+                    tot = jnp.sum(nu_j)
+                    return (g * (jax.scipy.special.gammaln(tot)
+                                 - jax.scipy.special.gammaln(
+                                     jnp.maximum(v, 1e-12)))
+                            + (v - 1.0) * sum_log_pi[j]
+                            - self.nu_prior_rate * v)
+
+                v_new = slice_step(kj, nu[j], target, width=1.0,
+                                   lower=1e-6, upper=1e6)
+                return nu * (1.0 - ej) + v_new * ej, None
+
+            keys = jax.random.split(kn, k)
+            nu, _ = jax.lax.scan(body, state["nu"],
+                                 (jnp.arange(k), keys))
+            return {"pi": pi, "nu": nu}
+
+        return sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class HierarchicalGaussianRegression:
+    """Per-group regressions with an MVN prior on coefficients:
+    y[i,g] ~ N(x[i,g]' beta_g, sigsq), beta_g ~ MVN(mu, V)
+    (reference Hierarchical/HierarchicalGaussianRegressionModel.hpp:37 +
+    its posterior sampler: per-group conjugate beta draws, then
+    (mu, V) from the MVN conjugate, then the shared sigsq).
+
+    TPU form: group sufstats [G,p,p]/[G,p] are one einsum; the G
+    per-group beta draws are ONE vmapped Cholesky solve. State:
+    beta [G, p], mu [p], V [p, p], sigsq."""
+
+    x: jax.Array  # [n, p]
+    y: jax.Array  # [n]
+    group: jax.Array  # [n] ints in [0, G)
+    num_groups: int
+    mu_nobs: float = 1e-3  # vague N(0, V / mu_nobs) hyperprior on mu
+    v_df: float | None = None  # IW prior df (default p + 2)
+    sigma_df: float = 1.0
+    sigma_guess: float = 1.0
+
+    def _sufstats(self):
+        g = self.num_groups
+        onehot = jax.nn.one_hot(self.group, g, dtype=self.x.dtype)
+        xtx = jnp.einsum("ng,ni,nj->gij", onehot, self.x, self.x)
+        xty = jnp.einsum("ng,ni,n->gi", onehot, self.x, self.y)
+        yty = jax.ops.segment_sum(self.y * self.y, self.group, g)
+        n = jnp.sum(onehot, 0)
+        return xtx, xty, yty, n
+
+    def init_state(self, key):
+        p = self.x.shape[1]
+        g = self.num_groups
+        xtx, xty, _, _ = self._sufstats()
+        ridge = jnp.eye(p, dtype=self.x.dtype)
+        beta = jax.vmap(jnp.linalg.solve)(xtx + ridge, xty)
+        return {"beta": beta, "mu": jnp.mean(beta, 0),
+                "V": jnp.eye(p, dtype=self.x.dtype),
+                "sigsq": jnp.var(self.y)}
+
+    def kernel(self):
+        p = self.x.shape[1]
+        g = self.num_groups
+        xtx, xty, yty, n = self._sufstats()
+        n_total = self.x.shape[0]
+        v_df0 = self.v_df if self.v_df is not None else p + 2.0
+        v_ss0 = jnp.eye(p, dtype=self.x.dtype) * v_df0
+
+        def sweep(key, state):
+            kb, km, kv, ks = jax.random.split(key, 4)
+            sigsq = state["sigsq"]
+            vinv = jnp.linalg.inv(state["V"])
+            vinv = 0.5 * (vinv + vinv.T)
+            # 1. beta_g | rest (batched over G)
+            prec = xtx / sigsq + vinv  # [G, p, p]
+            rhs = xty / sigsq + vinv @ state["mu"]  # [G, p]
+            chol = jnp.linalg.cholesky(prec)
+            mean = jax.vmap(
+                lambda c, r: jax.scipy.linalg.cho_solve((c, True), r))(
+                    chol, rhs)
+            beta = jax.vmap(
+                lambda m, c, k_: dists.mvn.sample_prec(
+                    k_, m, prec_chol=c))(
+                mean, chol, jax.random.split(kb, g))
+            # 2. mu | beta, V (conjugate MVN, vague mu_nobs prior)
+            prec_mu = (g + self.mu_nobs) * vinv
+            mean_mu = jnp.sum(beta, 0) / (g + self.mu_nobs)
+            mu = dists.mvn.sample_prec(km, mean_mu, prec_mu)
+            # 3. V | beta, mu (inverse Wishart)
+            dev = beta - mu
+            ss = v_ss0 + dev.T @ dev
+            vinv_new = dists.wishart.sample(
+                kv, v_df0 + g, jnp.linalg.inv(0.5 * (ss + ss.T)))
+            v = jnp.linalg.inv(vinv_new)
+            v = 0.5 * (v + v.T)
+            # 4. sigsq | beta (shared residual variance)
+            resid_ss = jnp.sum(
+                yty - 2.0 * jnp.einsum("gi,gi->g", beta, xty)
+                + jnp.einsum("gi,gij,gj->g", beta, xtx, beta))
+            df = self.sigma_df + n_total
+            sigsq = dists.scaled_inv_chisq.sample(
+                ks, df, (self.sigma_df * self.sigma_guess**2
+                         + jnp.maximum(resid_ss, 1e-12)) / df)
+            return {"beta": beta, "mu": mu, "V": v, "sigsq": sigsq}
+
+        return sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class HierarchicalZeroInflatedGamma:
+    """Zero-inflated gamma with group-level parameters (reference
+    Hierarchical/HierarchicalZeroInflatedGammaModel.hpp: per group,
+    y = 0 w.p. 1-p_g else Gamma(mean mu_g, shape a_g); hyperpriors
+    p_g ~ Beta(pa, pb), mu_g ~ Gamma, a_g ~ Gamma).
+
+    Data enters as per-group sufstats (n0, n1, sum, sumlog) — the
+    HierarchicalZeroInflatedGammaData quartet. Group draws: p_g is
+    conjugate Beta, (mu_g, a_g) are batched elementwise slice moves on
+    the log scale (conditionals independent across groups given the
+    hypers). Hypers by slice given the group-level draws.
+
+    State: p [G], mu [G], a [G], hyper {pa, pb, mu_shape, mu_rate,
+    a_shape, a_rate}."""
+
+    n0: jax.Array  # [G] zero counts
+    n1: jax.Array  # [G] positive counts
+    sum: jax.Array  # [G] sum of positives
+    sumlog: jax.Array  # [G] sum of log positives
+    hyper_rate: float = 0.1  # exponential priors on the 6 hypers
+
+    @property
+    def num_groups(self):
+        return self.n0.shape[0]
+
+    @staticmethod
+    def from_data(y, group, num_groups):
+        """y: [n] with zeros; group: [n] ints."""
+        pos = y > 0
+        n1 = jax.ops.segment_sum(pos.astype(y.dtype), group, num_groups)
+        n0 = jax.ops.segment_sum((~pos).astype(y.dtype), group,
+                                 num_groups)
+        s = jax.ops.segment_sum(jnp.where(pos, y, 0.0), group,
+                                num_groups)
+        sl = jax.ops.segment_sum(
+            jnp.where(pos, jnp.log(jnp.maximum(y, 1e-300)), 0.0),
+            group, num_groups)
+        return HierarchicalZeroInflatedGamma(n0=n0, n1=n1, sum=s,
+                                             sumlog=sl)
+
+    def init_state(self, key):
+        g = self.num_groups
+        p = (self.n1 + 1.0) / (self.n0 + self.n1 + 2.0)
+        mu = (self.sum + 1.0) / (self.n1 + 1.0)
+        return {"p": p, "mu": mu, "a": jnp.ones((g,), p.dtype),
+                "pa": jnp.asarray(1.0, p.dtype),
+                "pb": jnp.asarray(1.0, p.dtype),
+                "mu_shape": jnp.asarray(1.0, p.dtype),
+                "mu_rate": jnp.asarray(1.0 / jnp.maximum(
+                    jnp.mean(mu), 1e-6), p.dtype),
+                "a_shape": jnp.asarray(1.0, p.dtype),
+                "a_rate": jnp.asarray(1.0, p.dtype)}
+
+    def _gamma_loglik(self, mu, a):
+        """Per-group positive-part loglik with mean-shape params."""
+        rate = a / mu
+        return (self.n1 * (a * jnp.log(rate)
+                           - jax.scipy.special.gammaln(a))
+                + (a - 1.0) * self.sumlog - rate * self.sum)
+
+    def kernel(self):
+        g = self.num_groups
+        lg = jax.scipy.special.gammaln
+
+        def sweep(key, state):
+            kp, kmu, ka, kh = jax.random.split(key, 4)
+            # 1. p_g | data, hypers (batched conjugate Beta)
+            p = dists.beta.sample(kp, state["pa"] + self.n1,
+                                  state["pb"] + self.n0)
+            # 2. mu_g | a_g, data, hypers (batched log-scale slice)
+            a = state["a"]
+
+            def mu_target(log_mu):
+                m = jnp.exp(log_mu)
+                return (self._gamma_loglik(m, a)
+                        + dists.gamma.logpdf(m, state["mu_shape"],
+                                             state["mu_rate"])
+                        + log_mu)
+
+            mu = jnp.exp(slice_step(kmu, jnp.log(state["mu"]),
+                                    mu_target, width=0.5))
+
+            # 3. a_g | mu_g, data, hypers (batched log-scale slice)
+            def a_target(log_a):
+                av = jnp.exp(log_a)
+                return (self._gamma_loglik(mu, av)
+                        + dists.gamma.logpdf(av, state["a_shape"],
+                                             state["a_rate"])
+                        + log_a)
+
+            a = jnp.exp(slice_step(ka, jnp.log(a), a_target, width=0.5))
+
+            # 4. hypers | group params: conjugate where possible, slice
+            # for the shape-like ones
+            k1, k2, k3, k4, k5, k6 = jax.random.split(kh, 6)
+            slp = jnp.sum(jnp.log(jnp.maximum(p, 1e-12)))
+            sl1mp = jnp.sum(jnp.log(jnp.maximum(1.0 - p, 1e-12)))
+
+            def pa_target(v):
+                return (g * (lg(v + state["pb"]) - lg(v))
+                        + (v - 1.0) * slp - self.hyper_rate * v)
+
+            pa = slice_step(k1, state["pa"], pa_target, width=1.0,
+                            lower=1e-3, upper=1e4)
+
+            def pb_target(v):
+                return (g * (lg(pa + v) - lg(v))
+                        + (v - 1.0) * sl1mp - self.hyper_rate * v)
+
+            pb = slice_step(k2, state["pb"], pb_target, width=1.0,
+                            lower=1e-3, upper=1e4)
+
+            # mu_g ~ Gamma(mu_shape, mu_rate): rate conjugate, shape slice
+            mu_rate = dists.gamma.sample(
+                k3, 1.0 + g * state["mu_shape"],
+                self.hyper_rate + jnp.sum(mu))
+            sml = jnp.sum(jnp.log(jnp.maximum(mu, 1e-300)))
+
+            def mu_shape_target(v):
+                return (g * (v * jnp.log(mu_rate) - lg(v))
+                        + (v - 1.0) * sml - self.hyper_rate * v)
+
+            mu_shape = slice_step(k4, state["mu_shape"],
+                                  mu_shape_target, width=0.5,
+                                  lower=1e-3, upper=1e4)
+
+            a_rate = dists.gamma.sample(
+                k5, 1.0 + g * state["a_shape"],
+                self.hyper_rate + jnp.sum(a))
+            sal = jnp.sum(jnp.log(jnp.maximum(a, 1e-300)))
+
+            def a_shape_target(v):
+                return (g * (v * jnp.log(a_rate) - lg(v))
+                        + (v - 1.0) * sal - self.hyper_rate * v)
+
+            a_shape = slice_step(k6, state["a_shape"], a_shape_target,
+                                 width=0.5, lower=1e-3, upper=1e4)
+
+            return {"p": p, "mu": mu, "a": a, "pa": pa, "pb": pb,
+                    "mu_shape": mu_shape, "mu_rate": mu_rate,
+                    "a_shape": a_shape, "a_rate": a_rate}
+
+        return sweep
+
+    @staticmethod
+    def simulate(key, group_sizes, p, mu, a):
+        """Simulate raw (y, group) from per-group (p, mu, a)."""
+        ys, gs = [], []
+        for gi, (ng, pg, mg, ag) in enumerate(zip(group_sizes, p, mu,
+                                                  a)):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, gi))
+            pos = jax.random.uniform(k1, (ng,)) < pg
+            val = dists.gamma.sample(k2, ag, ag / mg, shape=(ng,))
+            ys.append(jnp.where(pos, val, 0.0))
+            gs.append(jnp.full((ng,), gi, jnp.int32))
+        return jnp.concatenate(ys), jnp.concatenate(gs)

@@ -695,4 +695,5 @@ from boom_tpu.frontends import (  # noqa: E402,F401
     MultinomialFactorModel,
     NnetRegression,
     PoissonFactorModel,
+    ShrinkageRegression,
 )

@@ -362,6 +362,62 @@ class LinearBandit:
 
 
 @dataclasses.dataclass
+class ShrinkageRegression:
+    """Regression with exchangeable coefficient groups shrunk together
+    (reference BoomSpikeSlab shrinkage.regression.R /
+    Models/Glm/PosteriorSamplers/RegressionShrinkageSampler.hpp:44).
+
+    coefficient_groups: list of index lists partitioning 0..p-1; any
+    index not listed gets its own singleton group."""
+
+    coefficient_groups: list = dataclasses.field(default_factory=list)
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, x, y, niter=500, num_chains=2, burn=300, seed=0,
+            **kw):
+        import numpy as np
+
+        from boom_tpu.models.glm.extras import RegressionShrinkage
+
+        x = _asfloat(x)
+        p = x.shape[1]
+        gidx = np.full(p, -1)
+        for k, idxs in enumerate(self.coefficient_groups):
+            gidx[list(idxs)] = k
+        next_free = len(self.coefficient_groups)
+        for j in range(p):
+            if gidx[j] < 0:
+                gidx[j] = next_free
+                next_free += 1
+        self._model = RegressionShrinkage(
+            x=x, y=_asfloat(y), coef_groups=jnp.asarray(gidx),
+            num_groups=next_free, **kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    def coefficient_draws(self):
+        return np.asarray(self._result.stacked()["beta"])
+
+    def group_mean_draws(self):
+        """[draws, K] shrinkage-group means b_k."""
+        return np.asarray(self._result.stacked()["b"])
+
+    def residual_sd_draws(self):
+        return np.sqrt(np.asarray(self._result.stacked()["sigsq"]))
+
+    def predict(self, x):
+        x = _asfloat(x)
+        beta = self._result.stacked()["beta"]
+        preds = beta @ x.T
+        return (np.asarray(jnp.mean(preds, 0)),
+                np.asarray(jnp.std(preds, 0)))
+
+
+@dataclasses.dataclass
 class NnetRegression:
     """Bayesian feed-forward regression front end (reference
     BoomSpikeSlab nnet.R / Models/Nnet

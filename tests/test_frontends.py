@@ -175,7 +175,25 @@ def test_frontends_reexported_from_api():
     import boom_tpu.api as api
 
     for name in ["MlmSpike", "FiniteMixture", "DirichletProcessMvn",
+                 "ShrinkageRegression",
                  "MixedDataImputer", "PoissonFactorModel",
                  "MultinomialFactorModel", "BinomialBandit",
                  "LinearBandit", "NnetRegression"]:
         assert hasattr(api, name)
+
+
+def test_shrinkage_regression_frontend(np_rng):
+    n, p = 300, 8
+    groups = [[0, 1, 2, 3], [4, 5, 6, 7]]
+    b_true = np.concatenate([np.full(4, 1.5), np.full(4, -1.0)])
+    b_true += 0.1 * np_rng.normal(size=p)
+    x = np_rng.normal(size=(n, p))
+    y = x @ b_true + 0.5 * np_rng.normal(size=n)
+
+    m = frontends.ShrinkageRegression(coefficient_groups=groups).fit(
+        x, y, niter=300, burn=200, num_chains=2)
+    gm = m.group_mean_draws().mean(0)
+    assert abs(gm[0] - 1.5) < 0.3 and abs(gm[1] + 1.0) < 0.3
+    assert np.abs(m.coefficient_draws().mean(0) - b_true).max() < 0.25
+    pred, sd = m.predict(x[:10])
+    assert pred.shape == (10,) and (sd > 0).all()

@@ -5,7 +5,16 @@ distributions/ (samplers), and math/ (special functions) layers. See
 SURVEY.md §2.3.
 """
 
-from boom_tpu.dists import _solve, rmath, special
+from boom_tpu.dists import _solve, noncentral, rmath, special
+from boom_tpu.dists.noncentral import (
+    bessel_k,
+    log_bessel_k,
+    nc_beta,
+    nc_chisq,
+    nc_f,
+    nc_t,
+    tukey,
+)
 from boom_tpu.dists.continuous import (
     beta,
     cauchy,
@@ -63,6 +72,8 @@ __all__ = [
     "scaled_inv_chisq", "exponential", "beta", "uniform", "student_t",
     "cauchy", "logistic", "weibull", "f_dist", "laplace", "gumbel",
     "inverse_gaussian", "triangle", "gig",
+    "nc_beta", "nc_chisq", "nc_f", "nc_t", "tukey", "bessel_k",
+    "log_bessel_k", "noncentral",
     # discrete
     "bernoulli", "binomial", "poisson", "neg_binomial", "geometric",
     "beta_binomial", "hypergeometric", "categorical", "discrete_uniform",

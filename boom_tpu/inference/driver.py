@@ -85,6 +85,7 @@ def run_mcmc(
     thin: int = 1,
     extract: Callable[[Any], Any] | None = None,
     jit: bool = True,
+    axis_name: str | None = None,
 ) -> McmcResult:
     """Run ``num_chains`` independent chains of ``kernel``.
 
@@ -95,6 +96,10 @@ def run_mcmc(
     The chain axis is a ``vmap`` — on a sharded mesh the same axis is
     sharded by ``parallel.shard_chains`` (chain parallelism; the capability
     BOOM leaves to R users running mclapply, SURVEY.md §2.8).
+
+    axis_name: bind the chain vmap to a named axis so kernels can use
+    cross-chain collectives (``jax.lax.pmean``) — e.g. pooled warmup
+    adaptation via ``hmc_kernel(pool_axis=axis_name)``.
     """
     if callable(init_states):
         assert num_chains is not None, "num_chains required with init fn"
@@ -110,7 +115,7 @@ def run_mcmc(
         return run_chain(k, kernel, s, num_draws, burn=burn, thin=thin,
                          extract=extract)
 
-    fn = jax.vmap(one)
+    fn = jax.vmap(one, axis_name=axis_name)
     if jit:
         fn = jax.jit(fn)
     draws, final_state = fn(chain_keys, init_states)

@@ -157,17 +157,48 @@ def welford_update(hmc_state: HmcState, position):
     return hmc_state._replace(welford_n=n, welford_mean=mean, welford_m2=m2)
 
 
-def finalize_adaptation(hmc_state: HmcState, regularize=1e-3):
+def finalize_adaptation(hmc_state: HmcState, regularize=1e-3,
+                        pool_axis: str | tuple | None = None):
     """Freeze step size at the dual-averaged value and set the diagonal
-    inverse mass to the (regularized) sample variance."""
+    inverse mass to the (regularized) sample variance.
+
+    pool_axis: mesh/vmap axis name(s) to ``pmean`` the mass estimate
+    over (cross-chain pooled warmup, SURVEY §7 phase 8) — each chain's
+    Welford variance is averaged across the chain axis so every chain
+    samples with the SAME pooled metric. Only valid inside a program
+    that binds the axis (vmap(axis_name=...) / shard_map)."""
     n = jnp.maximum(hmc_state.welford_n - 1.0, 1.0)
     var = jax.tree_util.tree_map(
         lambda m2: (m2 / n) * (hmc_state.welford_n / (hmc_state.welford_n + 5.0))
         + regularize,
         hmc_state.welford_m2)
+    log_eps = hmc_state.da_log_eps_bar
+    if pool_axis is not None:
+        var = jax.tree_util.tree_map(
+            lambda v: jax.lax.pmean(v, pool_axis), var)
+        log_eps = jax.lax.pmean(log_eps, pool_axis)
     return hmc_state._replace(
-        step_size=jnp.exp(hmc_state.da_log_eps_bar),
+        step_size=jnp.exp(log_eps),
         inv_mass=var,
+    )
+
+
+def pool_hmc_states(hmc_states, regularize=1e-3):
+    """Host-side pooled finalize for a CHAIN-BATCHED HmcState (leading
+    axis = chains, as produced by run_mcmc's final_state): averages the
+    Welford mass estimate and dual-averaged log step over chains and
+    broadcasts the pooled values back to every chain. The out-of-program
+    companion of ``finalize_adaptation(pool_axis=...)``."""
+    frozen = jax.vmap(lambda h: finalize_adaptation(h, regularize))(
+        hmc_states)
+
+    def pooled(x):
+        return jnp.broadcast_to(jnp.mean(x, axis=0, keepdims=True),
+                                x.shape)
+
+    return frozen._replace(
+        step_size=pooled(frozen.step_size),
+        inv_mass=jax.tree_util.tree_map(pooled, frozen.inv_mass),
     )
 
 
@@ -178,6 +209,7 @@ def hmc_kernel(
     hmc_field: str = "_hmc",
     adapt_field: str | None = "_adapting",
     target_accept: float = 0.8,
+    pool_axis: str | tuple | None = None,
 ):
     """Kernel updating state[name] by HMC; ``log_target(value, state)``.
 
@@ -192,6 +224,12 @@ def hmc_kernel(
         pos = state[name]
         new_pos, accept_prob, _ = hmc_step(
             key, pos, hs, lambda v: log_target(v, state), num_steps)
+        if pool_axis is not None:
+            # cross-chain pooled dual averaging (SURVEY §7 phase 8):
+            # every chain adapts on the MEAN acceptance statistic, so
+            # the shared step size converges at sqrt(num_chains) lower
+            # noise and all chains stay in lockstep
+            accept_prob = jax.lax.pmean(accept_prob, pool_axis)
         adapting = state.get(adapt_field, False) if adapt_field else False
         if adapt_field and adapt_field in state:
             def do_adapt(h):

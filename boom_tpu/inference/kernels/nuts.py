@@ -206,6 +206,7 @@ def nuts_kernel(
     hmc_field: str = "_hmc",
     adapt_field: str | None = "_adapting",
     target_accept: float = 0.8,
+    pool_axis: str | tuple | None = None,
 ):
     """Kernel updating state[name] by NUTS; ``log_target(value, state)``.
 
@@ -218,6 +219,9 @@ def nuts_kernel(
         pos = state[name]
         new_pos, accept_stat, _ = nuts_step(
             key, pos, hs, lambda v: log_target(v, state), max_depth)
+        if pool_axis is not None:
+            # cross-chain pooled dual averaging (see hmc_kernel)
+            accept_stat = jax.lax.pmean(accept_stat, pool_axis)
         if adapt_field and adapt_field in state:
             adapting = state[adapt_field]
 

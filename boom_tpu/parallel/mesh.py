@@ -52,11 +52,18 @@ def run_mcmc_sharded(
     burn: int = 0,
     thin: int = 1,
     extract: Callable[[Any], Any] | None = None,
+    local_axis_name: str | None = None,
 ) -> McmcResult:
     """Like inference.run_mcmc but with the chain axis sharded over the
     mesh: each device runs its own vmapped block of chains (chain
     parallelism — SURVEY.md §2.8). Collective-free per step; diagnostics
-    gather across devices afterwards."""
+    gather across devices afterwards.
+
+    local_axis_name: bind the per-device chain vmap to a named axis.
+    A kernel built with ``pool_axis=(chain_axis, local_axis_name)``
+    then pools adaptation statistics over EVERY chain — pmean over the
+    local vmap lanes composes with the cross-device mesh collective
+    (cross-chain pooled warmup, SURVEY §7 phase 8)."""
     leaf = jax.tree_util.tree_leaves(init_states)[0]
     num_chains = leaf.shape[0]
     chain_keys = jax.random.split(key, num_chains)
@@ -68,7 +75,7 @@ def run_mcmc_sharded(
             return run_chain(k, kernel, s, num_draws, burn=burn, thin=thin,
                              extract=extract)
 
-        return jax.vmap(one)(keys, states)
+        return jax.vmap(one, axis_name=local_axis_name)(keys, states)
 
     sharded = shard_map(
         block, mesh=mesh,

@@ -98,17 +98,31 @@ class FilterResult(NamedTuple):
     p: jax.Array  # [T, d, d] predicted state covariances
 
 
+# State-dimension crossover between the elementwise VPU form and the
+# dot_general/MXU form of the [d, d] filter products. Small d (trend +
+# short seasonal): dot_general pads onto the 128x128 MXU under a chain
+# vmap — measured ~10-25x SLOWER at bench config (8192 chains, d=2)
+# than broadcast-multiply-sum on the VPU. Large composite states
+# (seasonal 52 + holidays + trend reach d >= 60): the O(d^3) VPU work
+# loses to the MXU. Crossover measured by tools/measure_mm_crossover.py
+# on TPU v5e: elementwise wins through d=16, dot wins from d~32; 24
+# splits the gap. Dispatch is static (d is a trace-time shape).
+_MXU_DISPATCH_D = 24
+
+
 def _mm(a, b):
-    """Matrix product via broadcast-multiply-sum. For the small [d, d]
-    per-chain systems here, `@`/einsum lower to dot_general, which XLA
-    pads onto the 128x128 MXU under a chain vmap — measured ~10-25x
-    slower at bench config (8192 chains, d=2) than this elementwise
-    form, which stays on the VPU."""
+    """[d, d] matrix product: elementwise VPU form below the crossover,
+    full-precision dot_general (MXU) above it (see _MXU_DISPATCH_D)."""
+    if a.shape[-1] >= _MXU_DISPATCH_D:
+        return jnp.matmul(a, b, precision="highest")
     return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
 
 
 def _mv(m, v):
-    """Matrix-vector product, elementwise form (see _mm)."""
+    """Matrix-vector product (same dispatch as _mm)."""
+    if m.shape[-1] >= _MXU_DISPATCH_D:
+        return jnp.einsum("...ij,...j->...i", m, v,
+                          precision="highest")
     return jnp.sum(m * v[..., None, :], axis=-1)
 
 

@@ -72,17 +72,16 @@ class FilterElement(NamedTuple):
 
 
 @_hp
-def _filter_elements(params: SsmParams, y, observed):
-    """Build the per-step elements. Step 1 conditions on the prior
-    N(a0, P0); missing steps are pure predictions."""
-    t_len = y.shape[0]
+def _generic_filter_elements(params: SsmParams, y, observed):
+    """Per-step elements for k >= 2 (predict with F, Q then update with
+    y_k); missing steps are pure predictions. Used for EVERY step by the
+    time-sharded filter (non-first blocks have no special element)."""
     d = params.z.shape[0]
     f_mat = params.t_mat
     q = params.rqr
     z = params.z
     r_var = params.h
 
-    # generic element for k >= 2 (predict with F, Q then update with y_k)
     s = z @ (q @ z) + r_var  # scalar
     k_gain = (q @ z) / s  # [d]
     i_kh = jnp.eye(d, dtype=z.dtype) - jnp.outer(k_gain, z)
@@ -100,20 +99,33 @@ def _filter_elements(params: SsmParams, y, observed):
         return a_k, b_k, c_k, eta_k, j_k
 
     a, b, c, eta, j = jax.vmap(make)(y, observed)
-
-    # first element: filter the prior against y_1
-    s1 = z @ (params.p0 @ z) + r_var
-    k1 = (params.p0 @ z) / s1
-    m1 = params.a0 + k1 * (y[0] - z @ params.a0)
-    c1 = (jnp.eye(d, dtype=z.dtype) - jnp.outer(k1, z)) @ params.p0
-    b1 = jnp.where(observed[0], m1, params.a0)
-    c1 = jnp.where(observed[0], c1, params.p0)
-    a = a.at[0].set(jnp.zeros((d, d), z.dtype))
-    b = b.at[0].set(b1)
-    c = c.at[0].set(0.5 * (c1 + c1.T))
-    eta = eta.at[0].set(jnp.zeros((d,), z.dtype))
-    j = j.at[0].set(jnp.zeros((d, d), z.dtype))
     return FilterElement(a=a, b=b, c=c, eta=eta, j=j)
+
+
+@_hp
+def _first_element(params: SsmParams, y0, obs0):
+    """The k = 1 element: filter the prior N(a0, P0) against y_1."""
+    d = params.z.shape[0]
+    z = params.z
+    s1 = z @ (params.p0 @ z) + params.h
+    k1 = (params.p0 @ z) / s1
+    m1 = params.a0 + k1 * (y0 - z @ params.a0)
+    c1 = (jnp.eye(d, dtype=z.dtype) - jnp.outer(k1, z)) @ params.p0
+    b1 = jnp.where(obs0, m1, params.a0)
+    c1 = jnp.where(obs0, c1, params.p0)
+    return FilterElement(
+        a=jnp.zeros((d, d), z.dtype), b=b1, c=0.5 * (c1 + c1.T),
+        eta=jnp.zeros((d,), z.dtype), j=jnp.zeros((d, d), z.dtype))
+
+
+@_hp
+def _filter_elements(params: SsmParams, y, observed):
+    """Build the per-step elements. Step 1 conditions on the prior
+    N(a0, P0)."""
+    elems = _generic_filter_elements(params, y, observed)
+    first = _first_element(params, y[0], observed[0])
+    return FilterElement(*(
+        arr.at[0].set(f) for arr, f in zip(elems, first)))
 
 
 def _combine_filter(e1: FilterElement, e2: FilterElement) -> FilterElement:

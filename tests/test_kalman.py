@@ -143,3 +143,23 @@ def test_simulate_moments(rng_key):
                                atol=0.03)
     np.testing.assert_allclose(np.asarray(ys).var(0), np.diag(cov_y),
                                rtol=0.03)
+
+
+def test_mm_dispatch_large_d_equivalence():
+    """The MXU dot path (d >= _MXU_DISPATCH_D) must agree with the
+    elementwise VPU form used below the crossover."""
+    import jax
+
+    from boom_tpu.statespace import kalman as K
+
+    key = jax.random.key(3)
+    d = K._MXU_DISPATCH_D + 8
+    a = jax.random.normal(key, (5, d, d))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (5, d, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (5, d))
+    elem_mm = jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+    elem_mv = jnp.sum(a * v[..., None, :], axis=-1)
+    np.testing.assert_allclose(np.asarray(K._mm(a, b)),
+                               np.asarray(elem_mm), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K._mv(a, v)),
+                               np.asarray(elem_mv), atol=1e-10)

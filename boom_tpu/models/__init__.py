@@ -24,6 +24,7 @@ from boom_tpu.models.hierarchical import (
     HierarchicalPoisson,
     HierarchicalZeroInflatedGamma,
 )
+from boom_tpu.models.health_state import HealthStateModel
 from boom_tpu.models.hmm import GaussianHmm
 from boom_tpu.models.impute import GaussianCopulaImputer
 from boom_tpu.models.irt import PartialCredit, TwoPl

@@ -112,6 +112,64 @@ class DiscreteBayesNet:
             out = out.at[:, idx[node.name]].set(draw.astype(jnp.int32))
         return out
 
+    def with_cpts(self, cpts):
+        """New net with the same structure and the given CPT tensors."""
+        return DiscreteBayesNet(nodes=tuple(
+            dataclasses.replace(n, cpt=c)
+            for n, c in zip(self.nodes, cpts)))
+
+    def learning_kernel(self, values, observed, prior=1.0):
+        """Gibbs sampler over (missing cells, CPTs) for PARTIALLY
+        observed assignment data — CPT posterior learning with evidence
+        masks (the reference's Models/Graphical sits inside the model
+        framework with conjugate CPD updates; this is that capability,
+        not just the query engine).
+
+        values: [n, V] int codes (arbitrary at unobserved cells);
+        observed: [n, V] bool. State: {"assign": [n, V],
+        "cpts": tuple of CPT tensors}. Sweep: for each node, resample
+        its missing cells from the full conditional given every other
+        cell (computed from the current joint tensor — exact, small
+        nets), then conjugate Dirichlet CPT row draws from the
+        completed data."""
+        values = jnp.asarray(values, jnp.int32)
+        observed = jnp.asarray(observed, bool)
+        v = len(self.nodes)
+
+        def sweep(key, state):
+            assign = jnp.where(observed, values, state["assign"])
+            net = self.with_cpts(state["cpts"])
+            logj = net.log_joint_tensor()
+            keys = jax.random.split(key, v + 1)
+            for j, node in enumerate(self.nodes):
+                lj = jnp.moveaxis(logj, j, -1)  # [..., S_j]
+                cols = tuple(assign[:, i] for i in range(v) if i != j)
+                logits = lj[cols]  # [n, S_j]
+                draw = jax.random.categorical(keys[j], logits, axis=-1)
+                assign = assign.at[:, j].set(jnp.where(
+                    observed[:, j], assign[:, j],
+                    draw.astype(jnp.int32)))
+            new_net = self.with_cpts(state["cpts"]).conjugate_cpt_draws(
+                keys[v], assign, prior=prior)
+            return {"assign": assign,
+                    "cpts": tuple(n.cpt for n in new_net.nodes)}
+
+        return sweep
+
+    def learning_init(self, key, values, observed):
+        """Initial state for learning_kernel: missing cells uniform."""
+        values = jnp.asarray(values, jnp.int32)
+        observed = jnp.asarray(observed, bool)
+        keys = jax.random.split(key, len(self.nodes))
+        cols = []
+        for j, node in enumerate(self.nodes):
+            rand = jax.random.randint(
+                keys[j], (values.shape[0],), 0, node.num_levels)
+            cols.append(jnp.where(observed[:, j], values[:, j],
+                                  rand.astype(jnp.int32)))
+        return {"assign": jnp.stack(cols, axis=1),
+                "cpts": tuple(n.cpt for n in self.nodes)}
+
     def conjugate_cpt_draws(self, key, assignments, prior=1.0):
         """Posterior CPT draws given complete data (Dirichlet rows;
         reference's conjugate CPD updates). Returns a new net."""
@@ -127,7 +185,9 @@ class DiscreteBayesNet:
             shape = node.cpt.shape
             flat_idx = jnp.ravel_multi_index(
                 tuple(cols), shape, mode="clip")
-            counts = jnp.zeros(int(jnp.prod(jnp.asarray(shape)))).at[
+            import math
+
+            counts = jnp.zeros(math.prod(shape)).at[
                 flat_idx].add(1.0).reshape(shape)
             cpt = dists.dirichlet.sample(k, prior + counts)
             new_nodes.append(dataclasses.replace(node, cpt=cpt))

@@ -16,6 +16,6 @@ PriorPolicy.cpp:25-29 in the reference) becomes a jitted scan body.
 
 __version__ = "0.1.0"
 
-from boom_tpu import dists, linalg, rng
+from boom_tpu import dists, linalg, priors, rng
 
-__all__ = ["dists", "linalg", "rng", "__version__"]
+__all__ = ["dists", "linalg", "priors", "rng", "__version__"]

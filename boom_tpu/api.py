@@ -84,6 +84,16 @@ class _SpikeBase:
         return _coef_table(self.draws["beta"], self.draws["gamma"],
                            self._names)
 
+    def fit_formula(self, formula, data, **fit_kw):
+        """R-interface entry point: `lm.spike(y ~ ., data)` etc. The
+        design matrix (with intercept, dummy coding, interactions,
+        transforms) is built by boom_tpu.formula.model_matrix."""
+        from boom_tpu.formula import model_matrix
+
+        y, x, names = model_matrix(formula, data)
+        self._names = names
+        return self.fit(x, y, **fit_kw)
+
     def summary(self):
         out = {"coefficients": self.coefficients()}
         if "sigsq" in self.draws:
@@ -101,18 +111,32 @@ class _SpikeBase:
 
 
 class LmSpike(_SpikeBase):
-    """lm.spike / lm_spike (reference spikeslab.py:85)."""
+    """lm.spike / lm_spike (reference spikeslab.py:85).
 
-    def __init__(self, expected_model_size=1.0, names=None, **prior_kw):
+    `prior` takes a boom_tpu.priors.RegressionSpikeSlabPrior for full
+    control over the prior spec (the reference's priors.py:66 surface);
+    otherwise the **prior_kw shortcut parameterizes the default prior.
+    """
+
+    def __init__(self, expected_model_size=1.0, names=None, prior=None,
+                 **prior_kw):
         self._prior_kw = dict(prior_kw,
                               expected_model_size=expected_model_size)
+        self._prior = prior
         self._names = names
 
     def fit(self, x, y, niter=1000, num_chains=4, burn=200, seed=0):
         from boom_tpu.models.glm import SpikeSlabRegression
+        from boom_tpu.models.glm.regression import RegSuf
 
-        model = SpikeSlabRegression.from_data(
-            jnp.asarray(x), jnp.asarray(y), **self._prior_kw)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        if self._prior is not None:
+            model = SpikeSlabRegression(
+                suf=RegSuf.from_data(x, y),
+                prior=self._prior.build(x, y),
+                max_flips=self._prior.kernel_max_flips)
+        else:
+            model = SpikeSlabRegression.from_data(x, y, **self._prior_kw)
         return self._fit(model, niter, num_chains, burn, seed)
 
     def predict(self, x_new, seed=0):
@@ -126,18 +150,28 @@ class LmSpike(_SpikeBase):
 
 
 class LogitSpike(_SpikeBase):
-    """logit.spike (reference BoomSpikeSlab/R/logit.spike.R)."""
+    """logit.spike (reference BoomSpikeSlab/R/logit.spike.R).
 
-    def __init__(self, expected_model_size=1.0, names=None, **prior_kw):
+    `prior` takes a boom_tpu.priors.LogitZellnerPrior (priors.py:385).
+    """
+
+    def __init__(self, expected_model_size=1.0, names=None, prior=None,
+                 **prior_kw):
         self._prior_kw = dict(prior_kw,
                               expected_model_size=expected_model_size)
+        self._prior = prior
         self._names = names
+
+    def _model(self, cls, x, y):
+        if self._prior is not None:
+            return cls(x=x, y=y, prior=self._prior.build(x, y),
+                       max_flips=self._prior.kernel_max_flips)
+        return cls.from_data(x, y, **self._prior_kw)
 
     def fit(self, x, y, niter=1000, num_chains=4, burn=200, seed=0):
         from boom_tpu.models.glm import LogitSpikeSlab
 
-        model = LogitSpikeSlab.from_data(
-            jnp.asarray(x), jnp.asarray(y), **self._prior_kw)
+        model = self._model(LogitSpikeSlab, jnp.asarray(x), jnp.asarray(y))
         return self._fit(model, niter, num_chains, burn, seed)
 
     def predict_prob(self, x_new):
@@ -151,8 +185,7 @@ class ProbitSpike(LogitSpike):
     def fit(self, x, y, niter=1000, num_chains=4, burn=200, seed=0):
         from boom_tpu.models.glm import ProbitSpikeSlab
 
-        model = ProbitSpikeSlab.from_data(
-            jnp.asarray(x), jnp.asarray(y), **self._prior_kw)
+        model = self._model(ProbitSpikeSlab, jnp.asarray(x), jnp.asarray(y))
         return self._fit(model, niter, num_chains, burn, seed)
 
     def predict_prob(self, x_new):
@@ -161,20 +194,33 @@ class ProbitSpike(LogitSpike):
 
 
 class PoissonSpike(_SpikeBase):
-    """poisson.spike."""
+    """poisson.spike.
 
-    def __init__(self, expected_model_size=1.0, names=None, **prior_kw):
+    `prior` takes a boom_tpu.priors.PoissonZellnerPrior (priors.py:480).
+    """
+
+    def __init__(self, expected_model_size=1.0, names=None, prior=None,
+                 **prior_kw):
         self._prior_kw = dict(prior_kw,
                               expected_model_size=expected_model_size)
+        self._prior = prior
         self._names = names
 
     def fit(self, x, y, exposure=None, niter=1000, num_chains=4,
             burn=200, seed=0):
         from boom_tpu.models.glm import PoissonSpikeSlab
 
-        model = PoissonSpikeSlab.from_data(
-            jnp.asarray(x), jnp.asarray(y), exposure=exposure,
-            **self._prior_kw)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        if self._prior is not None:
+            log_e = (jnp.zeros(y.shape, x.dtype) if exposure is None
+                     else jnp.log(jnp.asarray(exposure, x.dtype)))
+            model = PoissonSpikeSlab(
+                x=x, y=y, log_exposure=log_e,
+                prior=self._prior.build(x, y, exposure),
+                max_flips=self._prior.kernel_max_flips)
+        else:
+            model = PoissonSpikeSlab.from_data(
+                x, y, exposure=exposure, **self._prior_kw)
         return self._fit(model, niter, num_chains, burn, seed)
 
 

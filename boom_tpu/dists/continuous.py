@@ -250,6 +250,25 @@ class scaled_inv_chisq:
     def sample(key, df, sigsq, shape=None):
         return inverse_gamma.sample(key, 0.5 * df, 0.5 * df * sigsq, shape)
 
+    @staticmethod
+    def sample_upper_truncated(key, df, sigsq, upper, shape=None):
+        """Draw sigma^2 ~ ScaledInvChisq(df, sigsq) restricted to
+        sigma^2 <= upper, by inverse-cdf on the underlying chisq
+        (sigma^2 <= upper  <=>  df*sigsq/sigma^2 >= df*sigsq/upper).
+        The reference truncates the same way via ChisqModel +
+        sigma_upper_limit (Models/PosteriorSamplers/GaussianVarSampler.cpp,
+        GenericGaussianVarianceSampler::draw with an upper limit)."""
+        if shape is None:
+            shape = jnp.broadcast_shapes(
+                jnp.shape(df), jnp.shape(sigsq), jnp.shape(upper))
+        c = df * sigsq / upper
+        lo = chisq.cdf(c, df)
+        u = jax.random.uniform(key, shape)
+        # map u into (lo, 1); clip away from 1 to keep quantile finite
+        u = jnp.clip(lo + u * (1.0 - lo), lo, 1.0 - 1e-12)
+        draw = chisq.quantile(u, df)
+        return df * sigsq / draw
+
 
 # ---------------------------------------------------------------------------
 # Exponential

@@ -71,18 +71,26 @@ class SpikeSlabPrior:
     sigma_df: jax.Array  # prior df for sigma^2
     prior_ss: jax.Array  # sigma_df * sigma_guess^2
     max_size: int | None = None
+    # Upper truncation for sigma (NOT sigma^2), or None for no limit —
+    # the sigma_upper_limit knob of BoomSpikeSlab's SpikeSlabPrior.
+    sigma_upper_limit: float | None = None
 
     @staticmethod
     def from_data(x, y, expected_model_size=1.0, expected_rsq=0.5,
                   prior_information_weight=1.0, diagonal_shrinkage=0.05,
                   sigma_df=0.01, optional_coefficient_estimate=None,
-                  max_size=None):
+                  max_size=None, prior_inclusion_probabilities=None,
+                  sigma_upper_limit=None):
         """Default construction mirroring R's SpikeSlabPrior /
         python spikeslab.RegressionSpikeSlabPrior defaults."""
         n, p = x.shape
         xtx = x.T @ x
-        pi = jnp.clip(expected_model_size / p, 1e-6, 1.0)
-        pi = jnp.broadcast_to(pi, (p,))
+        if prior_inclusion_probabilities is None:
+            pi = jnp.clip(expected_model_size / p, 1e-6, 1.0)
+            pi = jnp.broadcast_to(pi, (p,))
+        else:
+            pi = jnp.clip(jnp.asarray(prior_inclusion_probabilities,
+                                      x.dtype), 1e-6, 1.0 - 1e-12)
         sample_var = jnp.var(y)
         sigma_guess = jnp.sqrt((1.0 - expected_rsq) * sample_var)
         mean = jnp.zeros(p) if optional_coefficient_estimate is None else (
@@ -98,6 +106,7 @@ class SpikeSlabPrior:
             sigma_df=jnp.asarray(sigma_df, x.dtype),
             prior_ss=sigma_df * sigma_guess**2,
             max_size=max_size,
+            sigma_upper_limit=sigma_upper_limit,
         )
 
     def spike_logp(self, mask):
@@ -184,6 +193,10 @@ def draw_sigsq(key, suf: RegSuf, prior: SpikeSlabPrior, mask):
     """sigma^2 | g, y (beta integrated out) — reference draw_sigma
     (BregVsSampler.cpp:313): scaled inverse chi^2 with DF_, SS_."""
     post = reg_post_params(suf, prior, mask)
+    if prior.sigma_upper_limit is not None:
+        return dists.scaled_inv_chisq.sample_upper_truncated(
+            key, post.df, post.ss / post.df,
+            jnp.asarray(prior.sigma_upper_limit) ** 2)
     return dists.scaled_inv_chisq.sample(key, post.df, post.ss / post.df)
 
 

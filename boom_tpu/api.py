@@ -94,6 +94,22 @@ class _SpikeBase:
         self._names = names
         return self.fit(x, y, **fit_kw)
 
+    def plot(self, kind="inclusion", ax=None, **kw):
+        """plot.lm.spike dispatch (BoomSpikeSlab R/plot.lm.spike.R):
+        'inclusion' = signed inclusion-probability bars,
+        'coefficients' = boxplots of the coefficient draws."""
+        from boom_tpu import rplots
+
+        if kind == "inclusion":
+            return rplots.plot_inclusion_probs(
+                self.coefficients(), ax=ax, **kw)
+        if kind == "coefficients":
+            beta = np.asarray(self.draws["beta"])
+            return rplots.boxplot_true(
+                beta.reshape(-1, beta.shape[-1]),
+                names=self._names, ax=ax, **kw)
+        raise ValueError(f"unknown plot kind {kind!r}")
+
     def summary(self):
         out = {"coefficients": self.coefficients()}
         if "sigsq" in self.draws:
@@ -419,6 +435,33 @@ class BstsModel:
         if "beta" in self.draws:
             out["coefficients"] = self.coefficients()
         return out
+
+    def plot(self, kind="state", ax=None, burn=0, **kw):
+        """plot.bsts dispatch (reference bsts R/plot.bsts.R):
+        'state' = posterior of the fitted state mean with the data
+        overlaid; 'components' = one dynamic-distribution panel per
+        state block; 'residuals' = dynamic distribution of y - fit;
+        'coefficients' = inclusion bars (regression models only)."""
+        from boom_tpu import rplots
+
+        if kind == "coefficients":
+            return rplots.plot_inclusion_probs(
+                self.coefficients(), ax=ax, **kw)
+        contrib = {k: np.asarray(v)
+                   for k, v in self.state_contribution_draws().items()}
+        total = sum(contrib.values())
+        y = np.asarray(self._model.y)
+        if kind == "state":
+            ax = rplots.plot_dynamic_distribution(total, ax=ax, **kw)
+            ax.plot(np.arange(len(y)), y, ".", color="k", markersize=3)
+            return ax
+        if kind == "components":
+            return rplots.compare_dynamic_distributions(
+                list(contrib.values()), names=list(contrib.keys()), **kw)
+        if kind == "residuals":
+            return rplots.plot_dynamic_distribution(
+                y[None, :] - total, ax=ax, **kw)
+        raise ValueError(f"unknown plot kind {kind!r}")
 
     def predict(self, horizon, seed=0, future_z=None,
                 future_predictors=None, max_draws=200):

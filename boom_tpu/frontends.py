@@ -456,3 +456,131 @@ class NnetRegression:
 
     def residual_sd_draws(self):
         return np.sqrt(np.asarray(self._result.stacked()["sigsq"]))
+
+
+@dataclasses.dataclass
+class GaussianProcessRegression:
+    """GP regression front end (reference Interfaces/python/bayesreg/
+    BayesBoom/bayesreg/gaussian_process.py:15, kernels.py
+    RadialBasisFunction/MahalanobisKernel, mean_function.py
+    ZeroFunction/LinearMeanFunction).
+
+        gp = GaussianProcessRegression(kernel="rbf", mean="linear")
+        gp.fit(x, y, niter=500)
+        mean, sd = gp.predict(x_new)
+    """
+
+    kernel: str = "rbf"  # "rbf" | "mahalanobis"
+    mean: str = "zero"   # "zero" | "linear"
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, x, y, niter=500, num_chains=2, burn=200, seed=0,
+            **model_kw):
+        from boom_tpu.models.gp import GpRegression
+
+        x, y = _asfloat(x), _asfloat(y)
+        h = None
+        if self.mean == "linear":
+            h = jnp.concatenate([jnp.ones((x.shape[0], 1), x.dtype), x],
+                                axis=1)
+        self._model = GpRegression(
+            x=x, y=y, kernel_type=self.kernel, mean_design=h, **model_kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    def hyperparameter_draws(self):
+        """dict of flattened posterior draws of the kernel params."""
+        flat = self._result.stacked()
+        out = {"amplitude": np.exp(np.asarray(flat["log_amp"])),
+               "residual_sd": np.exp(np.asarray(flat["log_sigma"]))}
+        if "log_length" in flat:
+            out["lengthscale"] = np.exp(np.asarray(flat["log_length"]))
+        if "log_scales" in flat:
+            out["scales"] = np.exp(np.asarray(flat["log_scales"]))
+        if "beta" in flat:
+            out["beta"] = np.asarray(flat["beta"])
+        return out
+
+    def predict(self, x_new, seed=0, max_draws=100):
+        """Posterior-predictive mean and sd at x_new, integrating over
+        hyperparameter draws (function draws per hyperparameter draw)."""
+        x_new = _asfloat(x_new)
+        h_new = None
+        if self.mean == "linear":
+            h_new = jnp.concatenate(
+                [jnp.ones((x_new.shape[0], 1), x_new.dtype), x_new],
+                axis=1)
+        flat = self._result.stacked()
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
+        keys = jax.random.split(jax.random.key(seed), take)
+        draws = jax.jit(jax.vmap(
+            lambda k, st: self._model.predict_draw(k, st, x_new, h_new)
+        ))(keys, sub)
+        return (np.asarray(jnp.mean(draws, 0)),
+                np.asarray(jnp.std(draws, 0)))
+
+
+@dataclasses.dataclass
+class HierarchicalGaussianProcessRegression:
+    """Hierarchical GP front end (reference bayesreg/
+    hierarchical_gaussian_process.py:16): a shared prior function plus
+    per-group deviation GPs."""
+
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, x, y, group, niter=400, num_chains=2, burn=200,
+            seed=0, **model_kw):
+        """x [n, d], y [n], group [n] integer labels: padded into the
+        model's fixed-shape [K, n_max, d] stacks with an observed mask."""
+        from boom_tpu.models.gp import HierarchicalGpRegression
+
+        x = np.atleast_2d(np.asarray(x, float))
+        if x.shape[0] != len(y):
+            x = x.T
+        y = np.asarray(y, float)
+        group = np.asarray(group)
+        self._levels = list(dict.fromkeys(group.tolist()))
+        idx = [np.where(group == g)[0] for g in self._levels]
+        n_max = max(len(i) for i in idx)
+        k = len(idx)
+        xp = np.zeros((k, n_max, x.shape[1]))
+        yp = np.zeros((k, n_max))
+        mask = np.zeros((k, n_max), bool)
+        for j, ii in enumerate(idx):
+            xp[j, :len(ii)] = x[ii]
+            yp[j, :len(ii)] = y[ii]
+            mask[j, :len(ii)] = True
+        self._model = HierarchicalGpRegression(
+            x=_asfloat(xp), y=_asfloat(yp), mask=jnp.asarray(mask),
+            **model_kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn)
+        return self
+
+    def predict_group(self, x_new, group, max_draws=100):
+        """Posterior mean/sd of group's curve at x_new. `group` is a
+        label from fit(); x_new is [m, d]."""
+        group = self._levels.index(group)
+        x_new = np.atleast_2d(np.asarray(x_new, float))
+        if x_new.shape[1] != self._model.x.shape[-1]:
+            x_new = x_new.T
+        flat = self._result.stacked()
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        sub = jax.tree_util.tree_map(lambda a: a[idx], flat)
+        draws = jax.jit(jax.vmap(
+            lambda st: self._model.predict_group(
+                st, _asfloat(x_new), group)))(sub)
+        return (np.asarray(jnp.mean(draws, 0)),
+                np.asarray(jnp.std(draws, 0)))

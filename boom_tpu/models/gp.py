@@ -40,87 +40,166 @@ def mahalanobis_kernel(x1, x2, amplitude, scale_diag):
 
 @dataclasses.dataclass(frozen=True)
 class GpRegression:
-    """y = f(x) + eps, f ~ GP(0, k_rbf), eps ~ N(0, sigsq).
+    """y = m(x) + f(x) + eps, f ~ GP(0, k), eps ~ N(0, sigsq).
 
-    State: log_amp, log_length, log_sigma (all slice-sampled on the
+    State: log_amp, log_sigma, and either log_length (rbf) or
+    log_scales [d] (mahalanobis / ARD), all slice-sampled on the
     collapsed marginal likelihood with independent N(m, s^2) priors on
-    the logs)."""
+    the logs. With `mean_design` H set (reference GpMeanFunction's
+    LinearMeanFunction), the state also carries beta [q], drawn from its
+    conjugate Gaussian conditional given the kernel parameters — the
+    marginal y - H beta ~ N(0, K + sigsq I) makes that draw exact."""
 
     x: jax.Array  # [n, d]
     y: jax.Array  # [n]
     log_amp_prior: tuple = (0.0, 1.0)
     log_length_prior: tuple = (0.0, 1.0)
     log_sigma_prior: tuple = (0.0, 1.0)
+    kernel_type: str = "rbf"  # "rbf" | "mahalanobis"
+    mean_design: jax.Array | None = None  # [n, q] H, or None (zero mean)
 
-    def marginal_loglik(self, log_amp, log_length, log_sigma):
+    def _gram(self, x1, x2, state):
+        amp = jnp.exp(state["log_amp"])
+        if self.kernel_type == "mahalanobis":
+            return mahalanobis_kernel(x1, x2, amp,
+                                      jnp.exp(state["log_scales"]))
+        return rbf_kernel(x1, x2, amp, jnp.exp(state["log_length"]))
+
+    def _resid(self, state):
+        if self.mean_design is None:
+            return self.y
+        return self.y - self.mean_design @ state["beta"]
+
+    def _chol_c(self, state):
         n = self.y.shape[0]
-        k = rbf_kernel(self.x, self.x, jnp.exp(log_amp),
-                       jnp.exp(log_length))
-        k = k + (jnp.exp(2.0 * log_sigma)
+        k = self._gram(self.x, self.x, state)
+        k = k + (jnp.exp(2.0 * state["log_sigma"])
                  + 1e-8) * jnp.eye(n, dtype=k.dtype)
-        chol = jnp.linalg.cholesky(k)
-        alpha = jax.scipy.linalg.cho_solve((chol, True), self.y)
-        return (-0.5 * self.y @ alpha
+        return jnp.linalg.cholesky(k)
+
+    def marginal_loglik_state(self, state):
+        n = self.y.shape[0]
+        chol = self._chol_c(state)
+        r = self._resid(state)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), r)
+        return (-0.5 * r @ alpha
                 - jnp.sum(jnp.log(jnp.diagonal(chol)))
                 - 0.5 * n * jnp.log(2.0 * jnp.pi))
+
+    def marginal_loglik(self, log_amp, log_length, log_sigma):
+        return self.marginal_loglik_state({
+            "log_amp": log_amp, "log_length": log_length,
+            "log_sigma": log_sigma})
 
     def init_state(self, key):
         k1, k2, k3 = jax.random.split(key, 3)
         sd = jnp.std(self.y)
         spread = jnp.std(self.x)
-        return {
+        state = {
             "log_amp": jnp.log(sd + 1e-6)
             + 0.3 * jax.random.normal(k1, ()),
-            "log_length": jnp.log(spread + 1e-6)
-            + 0.3 * jax.random.normal(k2, ()),
             "log_sigma": jnp.log(0.3 * sd + 1e-6)
             + 0.3 * jax.random.normal(k3, ()),
         }
+        base = jnp.log(spread + 1e-6)
+        if self.kernel_type == "mahalanobis":
+            d = self.x.shape[1]
+            state["log_scales"] = base + 0.3 * jax.random.normal(
+                k2, (d,))
+        else:
+            state["log_length"] = base + 0.3 * jax.random.normal(k2, ())
+        if self.mean_design is not None:
+            state["beta"] = jnp.zeros(self.mean_design.shape[1],
+                                      self.x.dtype)
+        return state
+
+    def _draw_beta(self, key, state):
+        """beta | theta, y ~ N((H'C^-1 H)^-1 H'C^-1 y, (H'C^-1 H)^-1)
+        under a flat prior — exact because y - H beta is Gaussian with
+        known covariance C given the kernel parameters."""
+        h = self.mean_design
+        chol = self._chol_c(state)
+        ci_h = jax.scipy.linalg.cho_solve((chol, True), h)
+        prec = h.T @ ci_h
+        mean = jnp.linalg.solve(prec, ci_h.T @ self.y)
+        pchol = jnp.linalg.cholesky(
+            prec + 1e-10 * jnp.eye(prec.shape[0], dtype=prec.dtype))
+        z = jax.random.normal(key, mean.shape, mean.dtype)
+        return mean + jax.scipy.linalg.solve_triangular(
+            pchol.T, z, lower=False)
 
     def kernel(self):
-        def logpost(la, ll, ls):
-            def nprior(v, ms):
-                return -0.5 * ((v - ms[0]) / ms[1]) ** 2
+        def nprior(v, ms):
+            return jnp.sum(-0.5 * ((v - ms[0]) / ms[1]) ** 2)
 
-            return (self.marginal_loglik(la, ll, ls)
-                    + nprior(la, self.log_amp_prior)
-                    + nprior(ll, self.log_length_prior)
-                    + nprior(ls, self.log_sigma_prior))
+        def logpost(state):
+            lp = (self.marginal_loglik_state(state)
+                  + nprior(state["log_amp"], self.log_amp_prior)
+                  + nprior(state["log_sigma"], self.log_sigma_prior))
+            if self.kernel_type == "mahalanobis":
+                lp = lp + nprior(state["log_scales"],
+                                 self.log_length_prior)
+            else:
+                lp = lp + nprior(state["log_length"],
+                                 self.log_length_prior)
+            return lp
+
+        def slice_field(key, state, name):
+            val = slice_step(
+                key, state[name],
+                lambda v: logpost({**state, name: v}),
+                width=0.5, lower=-8.0, upper=8.0)
+            return {**state, name: val}
 
         def sweep(key, state):
-            k1, k2, k3 = jax.random.split(key, 3)
-            la, ll, ls = (state["log_amp"], state["log_length"],
-                          state["log_sigma"])
-            la = slice_step(k1, la, lambda v: logpost(v, ll, ls),
-                            width=0.5, lower=-8.0, upper=8.0)
-            ll = slice_step(k2, ll, lambda v: logpost(la, v, ls),
-                            width=0.5, lower=-8.0, upper=8.0)
-            ls = slice_step(k3, ls, lambda v: logpost(la, ll, v),
-                            width=0.5, lower=-8.0, upper=8.0)
-            return {"log_amp": la, "log_length": ll, "log_sigma": ls}
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            state = slice_field(k1, state, "log_amp")
+            if self.kernel_type == "mahalanobis":
+                d = state["log_scales"].shape[0]
+
+                def one_dim(st, inp):
+                    j, kj = inp
+                    v = slice_step(
+                        kj, st["log_scales"][j],
+                        lambda u: logpost(
+                            {**st,
+                             "log_scales": st["log_scales"].at[j].set(u)}),
+                        width=0.5, lower=-8.0, upper=8.0)
+                    return ({**st,
+                             "log_scales": st["log_scales"].at[j].set(v)},
+                            None)
+
+                state, _ = jax.lax.scan(
+                    one_dim, state,
+                    (jnp.arange(d), jax.random.split(k2, d)))
+            else:
+                state = slice_field(k2, state, "log_length")
+            state = slice_field(k3, state, "log_sigma")
+            if self.mean_design is not None:
+                state = {**state, "beta": self._draw_beta(k4, state)}
+            return state
 
         return sweep
 
-    def posterior_mean_cov(self, state, x_new):
+    def posterior_mean_cov(self, state, x_new, h_new=None):
         """Predictive mean/cov at x_new given hyperparameters (reference
-        GaussianProcessRegressionModel::predict_distribution)."""
-        amp = jnp.exp(state["log_amp"])
-        ell = jnp.exp(state["log_length"])
-        sigsq = jnp.exp(2.0 * state["log_sigma"])
+        GaussianProcessRegressionModel::predict_distribution). With a
+        linear mean function, pass h_new [m, q] to evaluate it."""
         n = self.y.shape[0]
-        k_nn = rbf_kernel(self.x, self.x, amp, ell) + (
-            sigsq + 1e-8) * jnp.eye(n)
-        k_sn = rbf_kernel(x_new, self.x, amp, ell)
-        k_ss = rbf_kernel(x_new, x_new, amp, ell)
-        chol = jnp.linalg.cholesky(k_nn)
-        alpha = jax.scipy.linalg.cho_solve((chol, True), self.y)
+        chol = self._chol_c(state)
+        k_sn = self._gram(x_new, self.x, state)
+        k_ss = self._gram(x_new, x_new, state)
+        r = self._resid(state)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), r)
         mean = k_sn @ alpha
+        if self.mean_design is not None and h_new is not None:
+            mean = mean + h_new @ state["beta"]
         v = jax.scipy.linalg.solve_triangular(chol, k_sn.T, lower=True)
         cov = k_ss - v.T @ v
         return mean, cov
 
-    def predict_draw(self, key, state, x_new):
-        mean, cov = self.posterior_mean_cov(state, x_new)
+    def predict_draw(self, key, state, x_new, h_new=None):
+        mean, cov = self.posterior_mean_cov(state, x_new, h_new)
         chol = jnp.linalg.cholesky(
             cov + 1e-8 * jnp.eye(cov.shape[0], dtype=cov.dtype))
         return mean + chol @ jax.random.normal(key, mean.shape, mean.dtype)

@@ -69,9 +69,22 @@ class DiscreteBayesNet:
             total = total + logp.reshape(view)
         return total
 
-    def marginal(self, query: str, evidence: dict | None = None):
-        """P(query | evidence) by summing the joint with evidence masks
-        (variable elimination via XLA reductions; exact)."""
+    def marginal(self, query: str, evidence: dict | None = None,
+                 method: str = "auto"):
+        """P(query | evidence), exact.
+
+        method='dense' sums the full joint tensor (fastest for small
+        nets; exponential memory in node count). method='elimination'
+        runs variable elimination with a greedy min-fill ordering —
+        cost exponential only in the induced treewidth, so large
+        sparse nets (hundreds of nodes) stay tractable; this is the
+        role of the reference's clique-based structure
+        (Models/Graphical/CliqueFinder.hpp, junction tree). 'auto'
+        picks dense for <= 12 nodes."""
+        if method == "auto":
+            method = "dense" if len(self.nodes) <= 12 else "elimination"
+        if method == "elimination":
+            return self._marginal_ve(query, evidence)
         evidence = evidence or {}
         logj = self.log_joint_tensor()
         idx = {n.name: i for i, n in enumerate(self.nodes)}
@@ -85,6 +98,96 @@ class DiscreteBayesNet:
         axes = tuple(i for i in range(len(self.nodes)) if i != keep)
         logm = jax.scipy.special.logsumexp(logj, axis=axes)
         return jax.nn.softmax(logm)
+
+    # -- variable elimination -----------------------------------------
+    def _factors(self, evidence):
+        """Initial log factors [(vars tuple, log tensor)], with evidence
+        variables sliced out (reduced, not masked)."""
+        factors = []
+        for node in self.nodes:
+            vars_ = tuple(node.parents) + (node.name,)
+            logp = jnp.log(jnp.clip(node.cpt, 1e-300, None))
+            for v in vars_:
+                if v in evidence:
+                    ax = vars_.index(v)
+                    logp = jnp.take(logp, evidence[v], axis=ax)
+                    vars_ = vars_[:ax] + vars_[ax + 1:]
+            factors.append((vars_, logp))
+        return factors
+
+    @staticmethod
+    def _combine(f1, f2):
+        """Log-space factor product with broadcast-aligned axes."""
+        v1, t1 = f1
+        v2, t2 = f2
+        out_vars = tuple(v1) + tuple(v for v in v2 if v not in v1)
+        # t1: append singleton axes for v2-only vars
+        a1 = t1.reshape(t1.shape + (1,) * (len(out_vars) - len(v1)))
+        # t2: permute/reshape into out_vars layout
+        perm = []
+        shape = []
+        for v in out_vars:
+            if v in v2:
+                perm.append(v2.index(v))
+                shape.append(t2.shape[v2.index(v)])
+            else:
+                shape.append(1)
+        t2p = jnp.transpose(t2, perm).reshape(shape)
+        return out_vars, a1 + t2p
+
+    def _elimination_order(self, keep, factors):
+        """Greedy min-fill ordering on the interaction graph of the
+        current factors (the standard treewidth heuristic)."""
+        neighbors = {}
+        for vars_, _ in factors:
+            for v in vars_:
+                neighbors.setdefault(v, set()).update(
+                    u for u in vars_ if u != v)
+        order = []
+        remaining = set(neighbors) - set(keep)
+        while remaining:
+            def fill_in(v):
+                nb = [u for u in neighbors[v] if u in remaining
+                      or u in keep]
+                return sum(1 for i, a in enumerate(nb)
+                           for b in nb[i + 1:]
+                           if b not in neighbors[a])
+
+            v = min(sorted(remaining), key=fill_in)
+            order.append(v)
+            nb = list(neighbors[v])
+            for a in nb:
+                neighbors[a].discard(v)
+                neighbors[a].update(u for u in nb if u != a)
+            del neighbors[v]
+            remaining.discard(v)
+        return order
+
+    def _marginal_ve(self, query, evidence=None):
+        evidence = evidence or {}
+        factors = self._factors(evidence)
+        for v in self._elimination_order([query], factors):
+            related = [f for f in factors if v in f[0]]
+            if not related:
+                continue
+            factors = [f for f in factors if v not in f[0]]
+            prod = related[0]
+            for f in related[1:]:
+                prod = self._combine(prod, f)
+            vars_, t = prod
+            ax = vars_.index(v)
+            factors.append((vars_[:ax] + vars_[ax + 1:],
+                            jax.scipy.special.logsumexp(t, axis=ax)))
+        # remaining factors mention only the query (or nothing)
+        out = (
+            (query,), jnp.zeros(
+                self.nodes[[n.name for n in self.nodes].index(query)]
+                .num_levels))
+        for f in factors:
+            out = self._combine(out, f)
+        vars_, t = out
+        assert vars_ == (query,), vars_
+        return jax.nn.softmax(t)
 
     def loglik(self, assignments):
         """Log probability of full assignment rows [n, num_nodes]

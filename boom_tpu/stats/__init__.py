@@ -53,3 +53,8 @@ __all__ = [
     "quantiles", "summary",
     "bspline_basis", "natural_spline_basis", "mspline_basis",
 ]
+from boom_tpu.stats.summarize import (  # noqa: F401,E402
+    CategoricalSummary,
+    NumericSummary,
+    summarize,
+)

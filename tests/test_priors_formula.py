@@ -198,3 +198,51 @@ def test_fit_formula_end_to_end(frame):
     tab = {r["name"]: r for r in m.coefficients()}
     assert "(Intercept)" in tab and "x1" in tab
     assert abs(tab["x1"]["mean"] - 1.5) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# data summaries (stats/summarize.py — reference R/summary.py surface)
+# ---------------------------------------------------------------------------
+def test_numeric_summary_moments_and_missing_codes():
+    from boom_tpu.stats.summarize import NumericSummary
+
+    x = np.concatenate([np.random.default_rng(0).normal(5, 2, 500),
+                        [np.nan] * 10, [999.0] * 60])
+    s = NumericSummary(x)
+    assert s.sample_size == 570
+    assert s.number_missing == 10
+    assert 999.0 in s.potential_missing_codes
+    assert abs(np.median([q for q in [s.median]]) - 5.0) < 15  # finite
+    clean = NumericSummary(x[:500])
+    assert abs(clean.mean - 5.0) < 0.3
+    assert abs(clean.sd - 2.0) < 0.3
+    assert clean.potential_missing_codes == []
+
+
+def test_categorical_summary_frequencies():
+    from boom_tpu.stats.summarize import CategoricalSummary
+
+    s = CategoricalSummary(["a", "b", "a", "c", "a", None])
+    assert s.number_missing == 1
+    assert s.frequencies == {"a": 3, "b": 1, "c": 1}
+    assert abs(s.proportions["a"] - 0.6) < 1e-12
+
+
+def test_summarize_dispatch():
+    from boom_tpu.stats.summarize import (
+        CategoricalSummary,
+        NumericSummary,
+        summarize,
+    )
+
+    rng = np.random.default_rng(1)
+    data = {
+        "x": rng.normal(size=100),
+        "g": np.array(["u", "v"] * 50),
+        "k": np.repeat([1, 2, 3], [40, 30, 30]),  # low-card ints
+    }
+    out = summarize(data)
+    assert isinstance(out["x"], NumericSummary)
+    assert isinstance(out["g"], CategoricalSummary)
+    assert isinstance(out["k"], CategoricalSummary)
+    assert "NumericSummary" in repr(out["x"])

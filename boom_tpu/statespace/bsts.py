@@ -114,6 +114,13 @@ class Bsts:
     # correlated in the marginal (level vs observation noise is the
     # classic pair); a random-direction pass cuts across the ridge
     marginal_slice_random_dirs: int = 1
+    # run `period` conditional sub-sweeps per kernel call with the
+    # (expensive: ~3x a plain sweep) marginal pass only on the last —
+    # a deterministic-scan composition of invariant kernels, so still
+    # exactly invariant. period=2 roughly halves marginal-slice cost
+    # per recorded draw at a small ESS-per-draw cost; recorded draws
+    # are the post-marginal states.
+    marginal_slice_period: int = 1
 
     def __post_init__(self):
         if self.obs_prior is None and self.reg_prior is None:
@@ -239,7 +246,7 @@ class Bsts:
                         if valid_for_prior(self.reg_prior)
                         else draw_indicators_sweep)
 
-        def sweep(key, state):
+        def sweep(key, state, do_marginal=True):
             # Order mirrors StateSpacePosteriorSampler::draw
             # (StateSpacePosteriorSampler.cpp:42-64): observation-model
             # draw and state-model draws condition on the CURRENT imputed
@@ -312,12 +319,24 @@ class Bsts:
                     out = self._asis_pass(k_asis, out, y_adj)
 
             # 5. marginal slice on log variances (state integrated out)
-            if self.marginal_sigma_slice:
+            if self.marginal_sigma_slice and do_marginal:
                 out = self._marginal_sigma_pass(
                     jax.random.fold_in(key, 977), out, y_adj)
             return out
 
-        return sweep
+        period = self.marginal_slice_period
+        if not self.marginal_sigma_slice or period <= 1:
+            return sweep
+
+        def composite(key, state):
+            # period-1 cheap conditional sweeps, then one sweep with
+            # the marginal pass; counts as one recorded draw
+            for i in range(period - 1):
+                state = sweep(jax.random.fold_in(key, 10_000 + i),
+                              state, do_marginal=False)
+            return sweep(jax.random.fold_in(key, 10_999), state)
+
+        return composite
 
     # -- marginal variance slice ---------------------------------------------
     def _sigma_groups(self):

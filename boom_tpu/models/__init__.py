@@ -22,6 +22,7 @@ from boom_tpu.models.hierarchical import (
     HierarchicalGaussian,
     HierarchicalGaussianRegression,
     HierarchicalPoisson,
+    HierarchicalPoissonRegression,
     HierarchicalZeroInflatedGamma,
 )
 from boom_tpu.models.health_state import HealthStateModel
@@ -61,6 +62,7 @@ __all__ = [
     "ZeroInflatedGamma",
     "BinomialBandit", "LogitBandit", "LinearBandit",
     "HierarchicalGaussian", "HierarchicalPoisson", "HierarchicalGamma",
+    "HierarchicalPoissonRegression",
     "GpRegression", "HierarchicalGpRegression",
     "GaussianBart", "BartConfig", "LogitBart",
     "ProbitBart", "PoissonBart",

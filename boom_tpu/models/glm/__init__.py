@@ -14,6 +14,8 @@ from boom_tpu.models.glm.regression import (
     RegSuf,
     SpikeSlabPrior,
     SpikeSlabRegression,
+    WeightedRegression,
+    weighted_reg_suf,
     draw_beta,
     draw_indicators_sweep,
     draw_sigsq,
@@ -37,10 +39,12 @@ from boom_tpu.models.glm.breadth import (
     GammaRegression,
     LoglinearModel,
     MultilevelMultinomial,
+    ZeroInflatedGammaRegression,
     ZeroInflatedLognormalRegression,
     ZeroInflatedPoissonRegression,
     loglinear_design,
 )
+from boom_tpu.models.glm.mprobit import MultinomialProbit
 from boom_tpu.models.glm.mvreg import MultivariateRegression, MvRegSuf
 from boom_tpu.models.glm.ordinal import OrdinalLogitSpikeSlab
 from boom_tpu.models.glm.quantile import QuantileSpikeSlab
@@ -57,6 +61,8 @@ __all__ = [
     "PoissonSpikeSlab", "impute_poisson_latent",
     "StudentSpikeSlab", "QuantileSpikeSlab", "OrdinalLogitSpikeSlab",
     "MultivariateRegression", "MvRegSuf",
+    "WeightedRegression", "weighted_reg_suf", "MultinomialProbit",
+    "ZeroInflatedGammaRegression",
     "AdaptiveSpikeSlabRegression", "BigAssSpikeSlab",
     "screen_candidates",
     "MultinomialLogitSpikeSlab", "impute_mnl_utilities",

@@ -47,14 +47,22 @@ class GammaRegression:
     beta_prior_sd: float = 10.0
     alpha_prior_shape: float = 1.0
     alpha_prior_rate: float = 0.1
+    # optional [n] per-row weights (0/1 masks a row out — the
+    # zero-inflated composite below fits the positive rows this way
+    # without dynamic shapes)
+    weights: jax.Array | None = None
 
     def log_post(self, beta, alpha):
         eta = self.x @ beta
         log_mu = eta
-        ll = jnp.sum(alpha * (jnp.log(alpha) - log_mu)
-                     - jax.scipy.special.gammaln(alpha)
-                     + (alpha - 1.0) * jnp.log(self.y)
-                     - alpha * self.y / jnp.exp(log_mu))
+        y_safe = jnp.maximum(self.y, 1e-300)
+        rows = (alpha * (jnp.log(alpha) - log_mu)
+                - jax.scipy.special.gammaln(alpha)
+                + (alpha - 1.0) * jnp.log(y_safe)
+                - alpha * y_safe / jnp.exp(log_mu))
+        if self.weights is not None:
+            rows = rows * self.weights
+        ll = jnp.sum(rows)
         lp = (-0.5 * jnp.sum(beta * beta) / self.beta_prior_sd**2
               + (self.alpha_prior_shape - 1.0) * jnp.log(alpha)
               - self.alpha_prior_rate * alpha)
@@ -62,8 +70,13 @@ class GammaRegression:
 
     def init_state(self, key):
         p = self.x.shape[1]
+        if self.weights is None:
+            ybar = jnp.mean(self.y)
+        else:
+            ybar = (jnp.sum(self.weights * self.y)
+                    / jnp.maximum(jnp.sum(self.weights), 1.0))
         beta0 = jnp.zeros((p,), self.x.dtype).at[0].set(
-            jnp.log(jnp.mean(self.y)))
+            jnp.log(jnp.maximum(ybar, 1e-6)))
         return {"beta": beta0, "alpha": jnp.asarray(1.0, self.x.dtype)}
 
     def kernel(self):
@@ -147,6 +160,67 @@ class ZeroInflatedLognormalRegression:
         p_nz = jax.nn.sigmoid(x_new @ state["logit"]["beta"])
         mu = x_new @ state["reg"]["beta"]
         return p_nz * jnp.exp(mu + 0.5 * state["reg"]["sigsq"])
+
+
+# ---------------------------------------------------------------------------
+# Zero-inflated gamma regression — reference
+# ZeroInflatedGammaRegression.hpp:108 (probability model at :28-48:
+# logit regression on nonzero status + gamma regression on the positive
+# part). Like the lognormal variant the gamma puts no mass at zero, so
+# the indicator is OBSERVED and the model decouples exactly: the logit
+# spike-slab fits (y > 0) and the weighted gamma regression fits the
+# positive rows (weights mask, fixed shapes).
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class ZeroInflatedGammaRegression:
+    x: jax.Array
+    y: jax.Array
+    expected_model_size: float = 1.0
+
+    def _parts(self):
+        nz = self.y > 0
+        logit = LogitSpikeSlab.from_data(
+            self.x, jnp.asarray(nz, jnp.int32),
+            expected_model_size=self.expected_model_size)
+        gamma = GammaRegression(
+            x=self.x, y=jnp.where(nz, self.y, 1.0),
+            weights=jnp.asarray(nz, self.x.dtype))
+        return logit, gamma
+
+    def init_state(self, key):
+        k1, k2 = jax.random.split(key)
+        logit, gamma = self._parts()
+        return {"logit": logit.init_state(k1),
+                "gamma": gamma.init_state(k2)}
+
+    def kernel(self):
+        logit, gamma = self._parts()
+        k_logit, k_gamma = logit.kernel(), gamma.kernel()
+
+        def sweep(key, state):
+            k1, k2 = jax.random.split(key)
+            return {"logit": k_logit(k1, state["logit"]),
+                    "gamma": k_gamma(k2, state["gamma"])}
+
+        return sweep
+
+    def expected_value(self, state, x_new):
+        """E[y | x] = P(y>0 | x) * mu(x) (gamma mean is exp(x'beta))."""
+        p_nz = jax.nn.sigmoid(x_new @ state["logit"]["beta"])
+        return p_nz * jnp.exp(x_new @ state["gamma"]["beta"])
+
+    @staticmethod
+    def simulate(key, n, beta_logit, beta_gamma, alpha=2.0):
+        kx, kz, kg = jax.random.split(key, 3)
+        beta_logit = jnp.asarray(beta_logit)
+        p = beta_logit.shape[0]
+        x = jnp.concatenate(
+            [jnp.ones((n, 1)), jax.random.normal(kx, (n, p - 1))], 1)
+        pos = (jax.random.uniform(kz, (n,))
+               < jax.nn.sigmoid(x @ beta_logit))
+        mu = jnp.exp(x @ jnp.asarray(beta_gamma))
+        val = dists.gamma.sample(kg, alpha, alpha / mu)
+        return x, jnp.where(pos, val, 0.0)
 
 
 # ---------------------------------------------------------------------------

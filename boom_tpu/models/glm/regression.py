@@ -282,3 +282,83 @@ class SpikeSlabRegression:
         beta = beta.at[idx].set(vals)
         y = x @ beta + sigma * jax.random.normal(ke, (n,))
         return x, y, beta
+
+
+# ---------------------------------------------------------------------------
+# Weighted regression — reference Models/Glm/WeightedRegressionModel.hpp:167
+# (WeightedRegSuf at :29 accumulates X'WX / X'Wy / y'Wy / sumw / sumlogw).
+# y_i ~ N(x_i' beta, sigsq / w_i). Weighted sufstats ARE plain sufstats
+# under the W inner product, so both the plain conjugate Gibbs and the
+# full spike-slab machinery apply unchanged.
+# ---------------------------------------------------------------------------
+def weighted_reg_suf(x, y, weights):
+    """RegSuf under the W inner product (X'WX, X'Wy, y'Wy).
+
+    n counts rows with POSITIVE weight, not sum-of-weights: each
+    observation contributes exactly one chi^2_1 term
+    w_i (y_i - x_i'b)^2 / sigsq to the variance posterior whatever its
+    precision weight, while zero-weight rows (the 0/1 masking idiom for
+    fixed-shape subsets) drop out entirely."""
+    xw = x * weights[:, None]
+    return RegSuf(xtx=xw.T @ x, xty=xw.T @ y,
+                  yty=jnp.sum(weights * y * y),
+                  n=jnp.sum(weights > 0).astype(x.dtype))
+
+
+@dataclasses.dataclass(frozen=True)
+class WeightedRegression:
+    """Conjugate Bayesian weighted regression (no variable selection):
+    beta | sigsq ~ N(b0, sigsq Omega0^-1) with Omega0 = I/prior_sd^2,
+    sigsq ~ ScaledInvChisq(sigma_df, sigma_guess^2). State keys:
+    beta [p], sigsq. For weighted SPIKE-SLAB regression use
+    ``WeightedRegression.spike(...)`` which returns a standard
+    SpikeSlabRegression over the weighted sufstats."""
+
+    suf: RegSuf
+    prior_sd: float = 100.0
+    sigma_df: float = 1.0
+    sigma_guess: float = 1.0
+
+    @staticmethod
+    def from_data(x, y, weights, **kw):
+        return WeightedRegression(suf=weighted_reg_suf(x, y, weights),
+                                  **kw)
+
+    @staticmethod
+    def spike(x, y, weights, **prior_kwargs):
+        """lm.spike on weighted data: SpikeSlabRegression whose sufstats
+        carry the W inner product (the reference composes
+        WeightedRegSuf with BregVsSampler the same way)."""
+        prior = SpikeSlabPrior.from_data(x, y, **prior_kwargs)
+        return SpikeSlabRegression(suf=weighted_reg_suf(x, y, weights),
+                                   prior=prior)
+
+    def init_state(self, key):
+        p = self.suf.xty.shape[0]
+        return {"beta": jnp.zeros((p,), self.suf.xty.dtype),
+                "sigsq": jnp.asarray(self.sigma_guess**2,
+                                     self.suf.xty.dtype)}
+
+    def kernel(self):
+        p = self.suf.xty.shape[0]
+        omega0 = jnp.eye(p, dtype=self.suf.xty.dtype) / self.prior_sd**2
+        prec = omega0 + self.suf.xtx
+        chol = jnp.linalg.cholesky(prec)
+        mean = jax.scipy.linalg.cho_solve((chol, True), self.suf.xty)
+
+        def sweep(key, state):
+            kb, ks = jax.random.split(key)
+            beta = mean + jax.scipy.linalg.solve_triangular(
+                chol.T,
+                jnp.sqrt(state["sigsq"])
+                * jax.random.normal(kb, (p,), mean.dtype),
+                lower=False)
+            sse = (self.suf.yty - 2.0 * beta @ self.suf.xty
+                   + beta @ self.suf.xtx @ beta)
+            df = self.sigma_df + self.suf.n
+            ss = (self.sigma_df * self.sigma_guess**2
+                  + jnp.maximum(sse, 1e-12))
+            sigsq = dists.scaled_inv_chisq.sample(ks, df, ss / df)
+            return {"beta": beta, "sigsq": sigsq}
+
+        return sweep

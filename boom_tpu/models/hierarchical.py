@@ -500,3 +500,126 @@ class HierarchicalZeroInflatedGamma:
             ys.append(jnp.where(pos, val, 0.0))
             gs.append(jnp.full((ng,), gi, jnp.int32))
         return jnp.concatenate(ys), jnp.concatenate(gs)
+
+
+@dataclasses.dataclass(frozen=True)
+class HierarchicalPoissonRegression:
+    """Per-group Poisson regressions with an MVN coefficient prior:
+
+        y[i] ~ Poisson(exposure[i] * exp(x[i]' beta_{g(i)})),
+        beta_g ~ MVN(mu, V),   mu ~ N(0, V / mu_nobs),  V ~ IW.
+
+    Reference: Models/Glm/HierarchicalPoissonRegression.hpp:41-69 (the
+    data-level models are PoissonRegressionModels and the prior is an
+    MvnModel; PosteriorSamplers/HierarchicalPoissonRegressionSampler.hpp
+    drives per-group draws then the prior draw) — distinct from the
+    scalar HierarchicalPoisson above (gamma-Poisson rates, no
+    regression structure).
+
+    TPU form: the G per-group coefficient vectors update COORDINATE-WISE
+    with a slice move whose [G]-vector conditional evaluates the exact
+    Poisson log likelihood for every group simultaneously (groups are
+    independent given the hypers, so the G one-dimensional conditionals
+    are independent and batch into one slice lane set — the reference
+    loops groups serially). (mu, V) are the standard MVN/IW conjugate
+    draws, identical in shape to HierarchicalGaussianRegression."""
+
+    x: jax.Array  # [n, p]
+    y: jax.Array  # [n] counts
+    group: jax.Array  # [n] ints in [0, G)
+    num_groups: int
+    exposure: jax.Array | None = None  # [n] positive
+    mu_nobs: float = 1e-3
+    v_df: float | None = None
+
+    def _log_exposure(self):
+        if self.exposure is None:
+            return jnp.zeros_like(self.y, dtype=self.x.dtype)
+        return jnp.log(self.exposure).astype(self.x.dtype)
+
+    def init_state(self, key):
+        p = self.x.shape[1]
+        g = self.num_groups
+        rate = jnp.log(jnp.maximum(jnp.mean(self.y), 0.1))
+        beta = jnp.zeros((g, p), self.x.dtype).at[:, 0].set(rate)
+        return {"beta": beta, "mu": jnp.mean(beta, 0),
+                "V": jnp.eye(p, dtype=self.x.dtype)}
+
+    def kernel(self):
+        p = self.x.shape[1]
+        g = self.num_groups
+        log_e = self._log_exposure()
+        yf = self.y.astype(self.x.dtype)
+        v_df0 = self.v_df if self.v_df is not None else p + 2.0
+        v_ss0 = jnp.eye(p, dtype=self.x.dtype) * v_df0
+
+        def group_loglik(beta):
+            """[G] exact Poisson log likelihood per group."""
+            eta = (jnp.einsum("np,np->n", self.x, beta[self.group])
+                   + log_e)
+            ll_rows = yf * eta - jnp.exp(eta)
+            return jax.ops.segment_sum(ll_rows, self.group, g)
+
+        def sweep(key, state):
+            beta, mu, v = state["beta"], state["mu"], state["V"]
+            vinv = jnp.linalg.inv(v)
+            vinv = 0.5 * (vinv + vinv.T)
+
+            # 1. beta_g coordinates, all groups batched per coordinate
+            for j in range(p):
+                kj = jax.random.fold_in(key, j)
+
+                def logp_j(bj, beta=beta, j=j):
+                    bt = beta.at[:, j].set(bj)
+                    dev = bt - mu
+                    lp_prior = -0.5 * jnp.einsum(
+                        "gi,ij,gj->g", dev, vinv, dev)
+                    return group_loglik(bt) + lp_prior
+
+                bj_new = slice_step(kj, beta[:, j], logp_j, width=0.5,
+                                    expand_iters=5, shrink_iters=10)
+                beta = beta.at[:, j].set(bj_new)
+
+            # 2. mu | beta, V and 3. V | beta, mu (conjugate)
+            km, kv = jax.random.split(jax.random.fold_in(key, p + 1))
+            prec_mu = (g + self.mu_nobs) * vinv
+            mean_mu = jnp.sum(beta, 0) / (g + self.mu_nobs)
+            mu = dists.mvn.sample_prec(km, mean_mu, prec_mu)
+            dev = beta - mu
+            ss = v_ss0 + dev.T @ dev
+            vinv_new = dists.wishart.sample(
+                kv, v_df0 + g, jnp.linalg.inv(0.5 * (ss + ss.T)))
+            v = jnp.linalg.inv(vinv_new)
+            v = 0.5 * (v + v.T)
+            return {"beta": beta, "mu": mu, "V": v}
+
+        return sweep
+
+    @staticmethod
+    def simulate(key, group_sizes, mu, v_scale=0.1, exposure_range=None):
+        """Simulate (x, y, group[, exposure]) from beta_g ~ N(mu, v I)."""
+        mu = jnp.asarray(mu)
+        p = mu.shape[0]
+        xs, ys, gs, es = [], [], [], []
+        for gi, ng in enumerate(group_sizes):
+            k1, k2, k3, k4 = jax.random.split(
+                jax.random.fold_in(key, gi), 4)
+            beta_g = mu + v_scale * jax.random.normal(k1, (p,))
+            x = jnp.concatenate(
+                [jnp.ones((ng, 1)), jax.random.normal(k2, (ng, p - 1))],
+                axis=1)
+            log_e = jnp.zeros((ng,))
+            if exposure_range is not None:
+                lo, hi = exposure_range
+                log_e = jnp.log(jax.random.uniform(
+                    k4, (ng,), minval=lo, maxval=hi))
+                es.append(jnp.exp(log_e))
+            lam = jnp.exp(x @ beta_g + log_e)
+            ys.append(jax.random.poisson(k3, lam))
+            xs.append(x)
+            gs.append(jnp.full((ng,), gi, jnp.int32))
+        out = (jnp.concatenate(xs), jnp.concatenate(ys),
+               jnp.concatenate(gs))
+        if exposure_range is not None:
+            out = out + (jnp.concatenate(es),)
+        return out

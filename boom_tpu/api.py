@@ -147,10 +147,26 @@ class LmSpike(_SpikeBase):
 
         x, y = jnp.asarray(x), jnp.asarray(y)
         if self._prior is not None:
-            model = SpikeSlabRegression(
-                suf=RegSuf.from_data(x, y),
-                prior=self._prior.build(x, y),
-                max_flips=self._prior.kernel_max_flips)
+            from boom_tpu.priors import StudentSpikeSlabPrior
+
+            if isinstance(self._prior, StudentSpikeSlabPrior):
+                # student-t errors: the prior type selects the error
+                # family (the reference's lm.spike does the same with
+                # StudentSpikeSlabPrior); df_prior's support becomes
+                # the nu slice bounds with a flat prior inside them
+                from boom_tpu.models.glm import StudentSpikeSlab
+
+                dfp = self._prior.df_prior
+                model = StudentSpikeSlab(
+                    x=x, y=y, prior=self._prior.build(x, y),
+                    max_flips=self._prior.kernel_max_flips,
+                    nu_prior_rate=0.0,
+                    nu_bounds=(dfp.lo, dfp.hi))
+            else:
+                model = SpikeSlabRegression(
+                    suf=RegSuf.from_data(x, y),
+                    prior=self._prior.build(x, y),
+                    max_flips=self._prior.kernel_max_flips)
         else:
             model = SpikeSlabRegression.from_data(x, y, **self._prior_kw)
         return self._fit(model, niter, num_chains, burn, seed)
@@ -415,9 +431,17 @@ class BstsModel:
     def draws(self):
         return self._result.draws
 
-    def state_contribution_draws(self):
-        """Per-block contribution paths over all draws."""
+    def state_contribution_draws(self, burn=0):
+        """Per-block contribution paths over all draws. `burn` drops the
+        first recorded draws of EACH chain (the draw axis, not the
+        flattened chain-major axis)."""
         flat = self._result.stacked()
+        if burn:
+            chains = jax.tree_util.tree_leaves(
+                self._result.draws)[0].shape[0]
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape((chains, -1) + a.shape[1:])
+                [:, burn:].reshape((-1,) + a.shape[1:]), flat)
         return jax.vmap(self._model.state_contributions)(flat)
 
     def coefficients(self):
@@ -445,10 +469,13 @@ class BstsModel:
         from boom_tpu import rplots
 
         if kind == "coefficients":
-            return rplots.plot_inclusion_probs(
-                self.coefficients(), ax=ax, **kw)
+            table = (_coef_table(self.draws["beta"][:, burn:],
+                                 self.draws["gamma"][:, burn:])
+                     if burn else self.coefficients())
+            return rplots.plot_inclusion_probs(table, ax=ax, **kw)
         contrib = {k: np.asarray(v)
-                   for k, v in self.state_contribution_draws().items()}
+                   for k, v in
+                   self.state_contribution_draws(burn=burn).items()}
         total = sum(contrib.values())
         y = np.asarray(self._model.y)
         if kind == "state":

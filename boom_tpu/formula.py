@@ -27,6 +27,7 @@ Example:
 
 from __future__ import annotations
 
+import ast
 import re
 
 import numpy as np
@@ -107,13 +108,56 @@ def _encode_column(data, name, drop_first):
     return np.asarray(col, float)[:, None], [name]
 
 
+_ALLOWED_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.Call, ast.Name,
+    ast.Constant, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow,
+    ast.Mod, ast.FloorDiv, ast.USub, ast.UAdd, ast.Load,
+)
+
+
+def _validate_transform_ast(expr):
+    """Restrict transform expressions to arithmetic on whitelisted names.
+
+    A bare `eval` with empty __builtins__ is escapable through attribute
+    chains (().__class__.__base__....), so formulas sourced from
+    untrusted input would be arbitrary code execution (like R formulas /
+    patsy, which have the same property). Parsing to an AST and
+    whitelisting node types closes that: no attributes, subscripts,
+    lambdas, comprehensions, or f-strings can appear."""
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"formula transform {expr!r} contains a disallowed "
+                f"construct ({type(node).__name__}); only arithmetic, "
+                f"column names and {sorted(_SAFE_FUNCS)} are allowed")
+        if isinstance(node, ast.Call) and (
+                not isinstance(node.func, ast.Name)
+                or node.func.id not in _SAFE_FUNCS):
+            raise ValueError(
+                f"formula transform {expr!r} calls a function outside "
+                f"the whitelist {sorted(_SAFE_FUNCS)}")
+    return tree
+
+
 def _eval_term(data, expr):
-    """Evaluate a transform term like log(x) / I(x**2) with numpy."""
-    names = {c: np.asarray(_get(data, c), float)
-             for c in _columns(data)
-             if re.search(rf"\b{re.escape(c)}\b", expr)
-             and not _is_categorical(_get(data, c))}
-    val = eval(expr, {"__builtins__": {}}, {**_SAFE_FUNCS, **names})
+    """Evaluate a transform term like log(x) / I(x**2) with numpy,
+    restricted to a validated arithmetic AST (see
+    _validate_transform_ast)."""
+    tree = _validate_transform_ast(expr)
+    names = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and node.id not in _SAFE_FUNCS:
+            col = _get(data, node.id)  # KeyError -> clear message below
+            if _is_categorical(col):
+                raise ValueError(
+                    f"formula transform {expr!r} references the "
+                    f"categorical column {node.id!r}; transforms apply "
+                    "to numeric columns only (dummy-code it with a "
+                    "plain term instead)")
+            names[node.id] = np.asarray(col, float)
+    val = eval(compile(tree, "<formula>", "eval"),
+               {"__builtins__": {}}, {**_SAFE_FUNCS, **names})
     return np.asarray(val, float)[:, None], [expr]
 
 

@@ -63,6 +63,10 @@ class StudentSpikeSlab:
     nu_prior_rate: float = 0.1  # Exp prior on nu (mean 10 dof)
     fix_nu: float | None = None
     max_flips: int | None = None
+    # support of the nu slice move; a StudentSpikeSlabPrior's UniformPrior
+    # df_prior maps onto these bounds (with nu_prior_rate=0 the prior is
+    # exactly uniform on the bounds)
+    nu_bounds: tuple = (0.1, 500.0)
 
     @staticmethod
     def from_data(x, y, expected_model_size=1.0, fix_nu=None, **kw):
@@ -75,7 +79,9 @@ class StudentSpikeSlab:
         pi = jax.nn.sigmoid(self.prior.log_inclusion_odds)
         gamma = jax.random.uniform(key, (p,)) < jnp.maximum(pi, 2.0 / p)
         sigsq = self.prior.prior_ss / jnp.maximum(self.prior.sigma_df, 1.0)
-        nu = jnp.asarray(self.fix_nu if self.fix_nu is not None else 10.0,
+        nu0 = min(max(10.0, 1.01 * self.nu_bounds[0]),
+                  self.nu_bounds[1])
+        nu = jnp.asarray(self.fix_nu if self.fix_nu is not None else nu0,
                          self.x.dtype)
         return {"gamma": gamma, "beta": jnp.zeros(p, self.x.dtype),
                 "sigsq": jnp.asarray(sigsq), "nu": nu}
@@ -102,7 +108,8 @@ class StudentSpikeSlab:
                 nu = slice_step(
                     kn, state["nu"],
                     lambda v: nu_log_posterior(v, w, self.nu_prior_rate),
-                    width=2.0, lower=0.1, upper=500.0)
+                    width=2.0, lower=self.nu_bounds[0],
+                    upper=self.nu_bounds[1])
             return {"gamma": gamma, "beta": beta, "sigsq": sigsq, "nu": nu}
 
         return sweep

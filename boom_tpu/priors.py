@@ -281,7 +281,11 @@ class LogitZellnerPrior(RegressionSpikeSlabPrior):
 
 class PoissonZellnerPrior(LogitZellnerPrior):
     """Zellner-style spike-slab prior for Poisson models (priors.py:480):
-    intercept mean log(event rate), exposure-weighted information."""
+    intercept mean log(total events / total exposure). The information
+    matrix is the UNWEIGHTED Zellner X'X/n form — matching the
+    reference, whose PoissonZellnerPrior also builds its precision from
+    plain X'X (spikeslab/priors.py:480 area), not exposure-weighted
+    products."""
 
     def __init__(self, prior_event_rate=1.0, **kw):
         kw.pop("prior_success_probability", None)

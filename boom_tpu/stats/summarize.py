@@ -147,9 +147,10 @@ def _summarize_column(col, numeric_min_unique=10, max_levels=10):
     if arr.dtype.kind in "OUSb":
         return CategoricalSummary(arr, max_levels=max_levels)
     uniq = np.unique(arr[~np.isnan(np.asarray(arr, float))]).size
-    if arr.dtype.kind in "iu" and uniq < numeric_min_unique:
-        # low-cardinality integers read as categories (summary.py:7's
-        # numeric_min_unique rule)
+    if uniq < numeric_min_unique:
+        # low-cardinality numerics read as categories, ANY numeric
+        # dtype: the reference dispatch (R/summary.py:42) applies the
+        # unique-count test to float 0/1 indicator columns too
         return CategoricalSummary(arr, max_levels=max_levels)
     return NumericSummary(arr)
 

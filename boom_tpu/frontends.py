@@ -150,15 +150,27 @@ class DirichletProcessMvn:
         self._model = DpMvnCollapsed(
             y=y, max_components=self.max_components, alpha=self.alpha,
             **kw)
-        kern = jax.jit(self._model.kernel())
-        state = {"z": jnp.zeros((y.shape[0],), jnp.int32)}
+        kern = self._model.kernel()
+        state = self._model.init_state(jax.random.key(seed + 1))
         key = jax.random.key(seed)
-        self._draws = []
-        for i in range(niter):
-            state = kern(jax.random.fold_in(key, i), state)
-            if i >= burn:
-                self._draws.append(np.asarray(state["z"]))
-        self._final = state
+
+        # one jitted program for the whole fit: the collapsed-CRP kernel
+        # scans over draws with a fixed buffer (every other front end's
+        # contract; a Python driver loop would pay one dispatch + host
+        # round-trip per draw)
+        @jax.jit
+        def fit(state, key):
+            def step(carry, k):
+                new = kern(k, carry)
+                return new, new["z"]
+
+            return jax.lax.scan(step, state,
+                                jax.random.split(key, niter))
+
+        final, zs = fit(state, key)
+        zs = np.asarray(zs[burn:])
+        self._draws = [zs[i] for i in range(zs.shape[0])]
+        self._final = jax.tree_util.tree_map(np.asarray, final)
         return self
 
     def num_cluster_draws(self):

@@ -24,6 +24,7 @@ import numpy as np
 
 from boom_tpu.inference import diagnostics
 from boom_tpu.inference.driver import McmcResult, run_mcmc
+from boom_tpu.serialize import SavableFit, load_fit, save_fit
 
 
 def suggest_burn(loglik_path, proportion=0.1):
@@ -62,7 +63,7 @@ def _coef_table(beta, gamma, names=None):
     return rows
 
 
-class _SpikeBase:
+class _SpikeBase(SavableFit):
     """Shared train/summary plumbing for the *.spike classes."""
 
     _model = None
@@ -274,7 +275,7 @@ class QregSpike(_SpikeBase):
 
 
 @dataclasses.dataclass
-class BstsModel:
+class BstsModel(SavableFit):
     """Builder-style bsts front end (reference bsts.Bsts, bsts.py:17;
     R bsts() with add.* specs):
 
@@ -431,6 +432,44 @@ class BstsModel:
     def draws(self):
         return self._result.draws
 
+    def _subsampled_states(self, burn=0, max_draws=50):
+        """Thinned flat draw states honoring a per-chain burn."""
+        flat = self._result.stacked()
+        if burn:
+            chains = jax.tree_util.tree_leaves(
+                self._result.draws)[0].shape[0]
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape((chains, -1) + a.shape[1:])
+                [:, burn:].reshape((-1,) + a.shape[1:]), flat)
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        return jax.tree_util.tree_map(lambda a: a[idx], flat)
+
+    def _one_step_errors(self, burn=0, standardize=True, max_draws=50):
+        from boom_tpu.statespace.bsts import one_step_prediction_errors
+
+        return one_step_prediction_errors(
+            self._model, self._subsampled_states(burn, max_draws),
+            standardize=standardize)
+
+    def prediction_errors(self, cutpoints=None, burn=0, seed=0,
+                          max_draws=50):
+        """bsts.prediction.errors analog (reference bsts/R/
+        diagnostics.R:61): {'in.sample': [draws, T], '<cutpoint>':
+        [draws, T], ...}. Cutpoint entries REFIT the model to
+        y[:cutpoint] and filter through the holdout, so post-cutpoint
+        columns are genuine out-of-sample one-step errors."""
+        from boom_tpu.statespace.bsts import holdout_prediction_errors
+
+        out = {"in.sample": self._one_step_errors(burn=burn,
+                                                  max_draws=max_draws)}
+        for i, c in enumerate(cutpoints or []):
+            out[str(int(c))] = holdout_prediction_errors(
+                self._model, jax.random.key(seed + i), int(c),
+                max_draws=max_draws)
+        return out
+
     def state_contribution_draws(self, burn=0):
         """Per-block contribution paths over all draws. `burn` drops the
         first recorded draws of EACH chain (the draw axis, not the
@@ -461,11 +500,18 @@ class BstsModel:
         return out
 
     def plot(self, kind="state", ax=None, burn=0, **kw):
-        """plot.bsts dispatch (reference bsts R/plot.bsts.R):
+        """plot.bsts dispatch (reference bsts R/plots.R:224 plot.bsts):
         'state' = posterior of the fitted state mean with the data
         overlaid; 'components' = one dynamic-distribution panel per
         state block; 'residuals' = dynamic distribution of y - fit;
-        'coefficients' = inclusion bars (regression models only)."""
+        'coefficients' = inclusion bars (regression models only);
+        'prediction.errors' = dynamic distribution of the standardized
+        one-step errors (PlotBstsPredictionErrors; pass cutpoints=[...]
+        for holdout-refit panels); 'forecast.distribution' = posterior
+        of the one-step-ahead forecasts y_t - v_t with actuals overlaid
+        (PlotBstsForecastDistribution); 'qq' = posterior QQ fan of the
+        standardized errors (diagnostics qqdist); 'acf' = posterior ACF
+        boxplots of the standardized errors (AcfDist)."""
         from boom_tpu import rplots
 
         if kind == "coefficients":
@@ -473,6 +519,30 @@ class BstsModel:
                                  self.draws["gamma"][:, burn:])
                      if burn else self.coefficients())
             return rplots.plot_inclusion_probs(table, ax=ax, **kw)
+        if kind == "prediction.errors":
+            errs = self.prediction_errors(
+                cutpoints=kw.pop("cutpoints", None), burn=burn,
+                seed=kw.pop("seed", 0))
+            return rplots.compare_dynamic_distributions(
+                [np.asarray(v) for v in errs.values()],
+                names=list(errs.keys()), **kw)
+        if kind == "forecast.distribution":
+            raw = np.asarray(self._one_step_errors(
+                burn=burn, standardize=False))
+            y = np.asarray(self._model.y)
+            ax = rplots.plot_dynamic_distribution(
+                y[None, :] - raw, ax=ax, **kw)
+            ax.plot(np.arange(len(y)), y, ".", color="blue",
+                    markersize=3)
+            return ax
+        if kind == "qq":
+            return rplots.qqdist(
+                np.asarray(self._one_step_errors(burn=burn)), ax=ax,
+                **kw)
+        if kind == "acf":
+            return rplots.acf_dist(
+                np.asarray(self._one_step_errors(burn=burn)), ax=ax,
+                **kw)
         contrib = {k: np.asarray(v)
                    for k, v in
                    self.state_contribution_draws(burn=burn).items()}
@@ -523,7 +593,7 @@ class BstsModel:
 
 
 @dataclasses.dataclass
-class DirmModel:
+class DirmModel(SavableFit):
     """dirm front end (reference Interfaces/R/bsts/R/dirm.R): dynamic
     intercept regression over multiplexed observations.
 
@@ -604,7 +674,7 @@ class DirmModel:
 
 
 @dataclasses.dataclass
-class MixedFrequencyModel:
+class MixedFrequencyModel(SavableFit):
     """Mixed-frequency front end (reference bsts/R/mixed.frequency.R):
     fine-scale latent structural time series observed as coarse
     aggregates."""
@@ -690,7 +760,7 @@ class MixedFrequencyModel:
 
 
 @dataclasses.dataclass
-class DynregModel:
+class DynregModel(SavableFit):
     """Wide dynamic regression front end (reference
     Interfaces/python/dynreg/BayesBoom/dynreg/dynreg.py
     SparseDynamicRegressionModel): time-varying coefficients with

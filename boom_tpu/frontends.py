@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from boom_tpu.inference.driver import McmcResult, run_mcmc
+from boom_tpu.serialize import SavableFit
 
 
 def _asfloat(a):
@@ -36,7 +37,7 @@ def _asfloat(a):
 
 
 @dataclasses.dataclass
-class MlmSpike:
+class MlmSpike(SavableFit):
     """Multinomial logit regression with spike-and-slab priors
     (reference mlogit_spike.py; R BoomSpikeSlab mlm.spike)."""
 
@@ -86,7 +87,7 @@ class MlmSpike:
 
 
 @dataclasses.dataclass
-class FiniteMixture:
+class FiniteMixture(SavableFit):
     """Finite Gaussian mixture front end (reference
     FiniteMixtureModel, mixtures/finite_mixture.py:10)."""
 
@@ -133,7 +134,7 @@ class FiniteMixture:
 
 
 @dataclasses.dataclass
-class DirichletProcessMvn:
+class DirichletProcessMvn(SavableFit):
     """DP mixture of multivariate Gaussians (reference
     DirichletProcessMvn, mixtures/dirichlet_process.py:8) via the
     collapsed CRP sampler."""
@@ -182,7 +183,7 @@ class DirichletProcessMvn:
 
 
 @dataclasses.dataclass
-class MixedDataImputer:
+class MixedDataImputer(SavableFit):
     """Missing-data imputation for mixed numeric/categorical frames
     (reference Interfaces/python/impute/BayesBoom/impute/impute.py:13,
     engine Models/Impute/MixedDataImputer.hpp:612)."""
@@ -233,7 +234,7 @@ class MixedDataImputer:
 
 
 @dataclasses.dataclass
-class PoissonFactorModel:
+class PoissonFactorModel(SavableFit):
     """Audience-measurement Poisson factor model front end (reference
     factormodels/poisson_factor_model.py; engine
     Models/FactorModels/PoissonFactorModel.hpp)."""
@@ -311,7 +312,7 @@ class MultinomialFactorModel(PoissonFactorModel):
         return np.asarray(self._result.stacked()["profiles"])
 
 
-class BinomialBandit:
+class BinomialBandit(SavableFit):
     """Thompson-sampling front end for Bernoulli rewards (reference
     bandits/binomial_bandit.py; Bandits/BinomialBandit.hpp). Streaming:
     update() with observed (arm, reward), draw_arm() to act."""
@@ -341,7 +342,7 @@ class BinomialBandit:
             self._next_key(), self._state, num_draws=num_draws))
 
 
-class LinearBandit:
+class LinearBandit(SavableFit):
     """Thompson sampling over a factorial experiment with linear
     Gaussian rewards (reference bandits/linear_bandit_encoder.py +
     Bandits/LinearBanditEncoder.hpp)."""
@@ -374,7 +375,7 @@ class LinearBandit:
 
 
 @dataclasses.dataclass
-class ShrinkageRegression:
+class ShrinkageRegression(SavableFit):
     """Regression with exchangeable coefficient groups shrunk together
     (reference BoomSpikeSlab shrinkage.regression.R /
     Models/Glm/PosteriorSamplers/RegressionShrinkageSampler.hpp:44).
@@ -430,7 +431,7 @@ class ShrinkageRegression:
 
 
 @dataclasses.dataclass
-class NnetRegression:
+class NnetRegression(SavableFit):
     """Bayesian feed-forward regression front end (reference
     BoomSpikeSlab nnet.R / Models/Nnet
     GaussianFeedForwardNeuralNetwork)."""
@@ -471,7 +472,7 @@ class NnetRegression:
 
 
 @dataclasses.dataclass
-class GaussianProcessRegression:
+class GaussianProcessRegression(SavableFit):
     """GP regression front end (reference Interfaces/python/bayesreg/
     BayesBoom/bayesreg/gaussian_process.py:15, kernels.py
     RadialBasisFunction/MahalanobisKernel, mean_function.py
@@ -540,7 +541,7 @@ class GaussianProcessRegression:
 
 
 @dataclasses.dataclass
-class HierarchicalGaussianProcessRegression:
+class HierarchicalGaussianProcessRegression(SavableFit):
     """Hierarchical GP front end (reference bayesreg/
     hierarchical_gaussian_process.py:16): a shared prior function plus
     per-group deviation GPs."""

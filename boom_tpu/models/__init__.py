@@ -28,7 +28,7 @@ from boom_tpu.models.hierarchical import (
 from boom_tpu.models.health_state import HealthStateModel
 from boom_tpu.models.hmm import GaussianHmm
 from boom_tpu.models.impute import GaussianCopulaImputer
-from boom_tpu.models.irt import PartialCredit, TwoPl
+from boom_tpu.models.irt import IrtModel, PartialCredit, TwoPl
 from boom_tpu.models.markov import MarkovModel
 from boom_tpu.models.mixtures import GaussianMixtureModel
 from boom_tpu.models.nnet import FeedForwardRegression
@@ -67,7 +67,7 @@ __all__ = [
     "GaussianBart", "BartConfig", "LogitBart",
     "ProbitBart", "PoissonBart",
     "PoissonFactorModel", "MultinomialFactorModel",
-    "TwoPl", "PartialCredit",
+    "TwoPl", "IrtModel", "PartialCredit",
     "HomogeneousPoissonProcess", "WeeklyCyclePoissonProcess",
     "MarkovModulatedPoissonProcess", "CosinePoissonProcess",
     "PoissonClusterProcess",

@@ -23,6 +23,7 @@ __all__ = [
     "plot_many_ts", "time_series_boxplot", "boxplot_true",
     "hosmer_lemeshow_plot", "plot_grid_shape", "plot_inclusion_probs",
     "plot_density", "abline", "lines", "points", "mosaic_plot",
+    "qqdist", "acf_dist",
 ]
 
 
@@ -279,3 +280,62 @@ def mosaic_plot(counts, row_names=None, col_names=None, ax=None):
     ax.set_ylim(0, 1)
     ax.set_xticks([])
     return ax
+
+
+def qqdist(draws, ax=None, **kw):
+    """Posterior QQ plot for noisy observations thought normal
+    (reference bsts/R/plots.R:17 qqdist): a dynamic-distribution fan of
+    the draws sorted by posterior mean against standard-normal
+    quantiles, an IQR-fit reference line, and the posterior means as
+    points. draws: [ndraws, n]."""
+    np_ = np
+    draws = np_.asarray(draws)
+    post_mean = draws.mean(0)
+    n = post_mean.shape[0]
+    order = np_.argsort(post_mean)
+    sorted_draws = draws[:, order]
+    # R's ppoints
+    a = 3.0 / 8.0 if n <= 10 else 0.5
+    probs = (np_.arange(1, n + 1) - a) / (n + 1 - 2 * a)
+    from scipy.stats import norm as _norm  # scipy is baked in
+
+    expected = _norm.ppf(probs)
+    ax = plot_dynamic_distribution(sorted_draws, timestamps=expected,
+                                   ax=ax, **kw)
+    x25, x75 = _norm.ppf([0.25, 0.75])
+    y25, y75 = np_.quantile(post_mean, [0.25, 0.75])
+    slope = (y75 - y25) / (x75 - x25)
+    ax.axline((x25, y25), slope=slope, color="green")
+    ax.plot(expected, post_mean[order], ".", color="blue", markersize=3)
+    ax.set_xlabel("Quantiles of Standard Normal")
+    ax.set_ylabel("Distribution")
+    return ax
+
+
+def acf_dist(draws, lag_max=None, ax=None, **kw):
+    """Posterior distribution of the ACF of a time-series quantity
+    (reference plots.R:54 AcfDist): one box per lag over the per-draw
+    autocorrelations. draws: [ndraws, T]."""
+    from boom_tpu.stats.moments import acf as _acf
+
+    draws = np.asarray(draws)
+    t_len = draws.shape[1]
+    if lag_max is None:
+        lag_max = min(int(10 * np.log10(t_len)), t_len - 1)
+    import jax
+
+    rows = np.asarray(jax.vmap(lambda x: _acf(x, lag_max))(
+        jnp_asarray(draws)))
+    ax = _ensure_ax(ax)
+    ax.boxplot([rows[:, k] for k in range(rows.shape[1])],
+               positions=np.arange(rows.shape[1]), widths=0.6, **kw)
+    ax.axhline(0.0, color="k", linewidth=0.8)
+    ax.set_xlabel("Lag")
+    ax.set_ylabel("Autocorrelation")
+    return ax
+
+
+def jnp_asarray(a):
+    import jax.numpy as jnp
+
+    return jnp.asarray(a)

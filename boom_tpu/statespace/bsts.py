@@ -42,6 +42,7 @@ from boom_tpu.models.glm.regression import draw_indicators_sweep
 from boom_tpu.statespace.kalman import (
     SsmParams,
     kalman_filter,
+    kalman_loglik,
     simulation_smoother,
 )
 from boom_tpu.statespace.pallas_scan import pallas_simulation_smoother
@@ -109,6 +110,44 @@ class Bsts:
     marginal_sigma_slice: bool = False
     marginal_slice_expand: int = 3
     marginal_slice_shrink: int = 8
+    # HOW the marginal move evaluates its Kalman-filter likelihoods:
+    #   "slice" — coordinate + random-direction slice moves. Robust, but
+    #       each move costs ~15 SEQUENTIAL filter passes (1 height +
+    #       2*expand + shrink), and the bsts sweep is time-axis-scan-
+    #       latency bound, not FLOP bound.
+    #   "mtm"  — multiple-try Metropolis (Liu-Liang-Wong 2000) on the
+    #       JOINT log-variance vector: `marginal_mtm_trials` candidates
+    #       drawn from a ladder of proposal scales are scored in ONE
+    #       candidate-batched filter pass (the candidate axis rides the
+    #       chain vmap — nearly free on TPU where the per-step tensors
+    #       are far from saturating the VPU), then one more batched pass
+    #       scores the reference points. 2 batched scans per move vs 15
+    #       sequential ones; exactly invariant (per-slot symmetric
+    #       proposals with lambda_i = 1/T_i weights => w_i = pi(y_i)).
+    #   "grid" — deterministic symmetric-grid multiple-try: per
+    #       coordinate, score the 2*marginal_grid_points offsets
+    #       u +/- delta_i (log-spaced deltas, so some rung always sits
+    #       at the conditional's local scale) in ONE batched filter
+    #       pass, select a point w.p. proportional to pi, and accept
+    #       with the exact ratio S_x/S_y (S_y from one more batched
+    #       pass at the selected point). pi(x) P(x->y) =
+    #       pi(x)pi(y) min(1/S_x, 1/S_y) is symmetric because the
+    #       offset set is symmetric — exactly invariant, and the
+    #       proposal is a near-exact draw from the 1-d conditional
+    #       (the slice sampler's quality at 2 batched scans/coordinate
+    #       instead of ~15 sequential ones).
+    marginal_move: str = "grid"
+    marginal_mtm_trials: int = 16
+    marginal_mtm_moves: int = 2
+    marginal_grid_points: int = 10  # per side
+    marginal_grid_range: tuple = (0.02, 4.0)  # log-variance offsets
+    marginal_grid_dirs: int = 1  # extra random-direction grid moves
+    # geometric ladder of per-slot proposal sds in log-variance space:
+    # trials cover [width*ladder_lo, width*ladder_hi] so one move both
+    # polishes locally and jumps scales (the slice sampler's adaptivity,
+    # bought with batch width instead of sequential evals)
+    marginal_mtm_width: float = 1.0
+    marginal_mtm_ladder: tuple = (0.05, 2.0)
     # extra slice moves along RANDOM directions in the joint log-
     # variance space: coordinate slices zigzag when two variances are
     # correlated in the marginal (level vs observation noise is the
@@ -318,10 +357,13 @@ class Bsts:
                     k_asis = jax.random.fold_in(key, 17 + i)
                     out = self._asis_pass(k_asis, out, y_adj)
 
-            # 5. marginal slice on log variances (state integrated out)
+            # 5. marginal move on log variances (state integrated out)
             if self.marginal_sigma_slice and do_marginal:
-                out = self._marginal_sigma_pass(
-                    jax.random.fold_in(key, 977), out, y_adj)
+                pass_fn = {"mtm": self._marginal_sigma_mtm,
+                           "grid": self._marginal_sigma_grid,
+                           "slice": self._marginal_sigma_pass}[
+                    self.marginal_move]
+                out = pass_fn(jax.random.fold_in(key, 977), out, y_adj)
             return out
 
         period = self.marginal_slice_period
@@ -388,7 +430,7 @@ class Bsts:
             def logp(u, path=path, prior=prior):
                 sigsq = jnp.exp(u)
                 st = set_param(out, path, sigsq)
-                ll = kalman_filter(self.ssm_params(st), y_adj).loglik
+                ll = kalman_loglik(self.ssm_params(st), y_adj)
                 # + u: Jacobian of the log transform
                 return ll + sic_logp(sigsq, prior) + u
 
@@ -417,7 +459,7 @@ class Bsts:
             def logp_dir(a, u_vec=u_vec, direction=direction):
                 u = u_vec + a * direction
                 st = set_vec(out, u)
-                ll = kalman_filter(self.ssm_params(st), y_adj).loglik
+                ll = kalman_loglik(self.ssm_params(st), y_adj)
                 lp = ll
                 for (path, prior), ui in zip(groups, u):
                     lp = lp + sic_logp(jnp.exp(ui), prior) + ui
@@ -428,6 +470,174 @@ class Bsts:
                 expand_iters=self.marginal_slice_expand,
                 shrink_iters=self.marginal_slice_shrink)
             out = set_vec(out, u_vec + a_new * direction)
+        return out
+
+    def _marginal_helpers(self, state, y_adj, groups):
+        """(get, set_param, lp_one, lp_batch) over the variance groups:
+        lp evaluates marginal loglik (Kalman, state integrated out)
+        + SIC prior + log-transform Jacobian at a [G] log-variance
+        vector; lp_batch vmaps it over a candidate axis."""
+
+        def get(st, path):
+            return (st["sigsq_obs"] if path[0] == "sigsq_obs"
+                    else st["blocks"][path[0]][path[1]])
+
+        def set_param(st, path, value):
+            out = dict(st)
+            if path[0] == "sigsq_obs":
+                out["sigsq_obs"] = value
+                return out
+            bname, pname = path
+            out["blocks"] = dict(st["blocks"])
+            out["blocks"][bname] = dict(st["blocks"][bname])
+            out["blocks"][bname][pname] = value
+            return out
+
+        def sic_logp(sigsq, prior):
+            df = prior.sample_size
+            ss = prior.sample_size * prior.sigma_guess**2
+            lp = -(0.5 * df + 1.0) * jnp.log(sigsq) - 0.5 * ss / sigsq
+            if prior.upper_limit < float("inf"):
+                lp = jnp.where(sigsq <= prior.upper_limit**2, lp,
+                               -jnp.inf)
+            return lp
+
+        def lp_one(u_vec):
+            st = state
+            for (path, _prior), u in zip(groups, u_vec):
+                st = set_param(st, path, jnp.exp(u))
+            lp = kalman_loglik(self.ssm_params(st), y_adj)
+            for (path, prior), u in zip(groups, u_vec):
+                lp = lp + sic_logp(jnp.exp(u), prior) + u
+            return lp
+
+        return get, set_param, lp_one, jax.vmap(lp_one)
+
+    def _marginal_sigma_grid(self, key, state, y_adj):
+        """Deterministic symmetric-grid multiple-try move on the log
+        variances (see the marginal_move="grid" dataclass comment for
+        the invariance argument). Per coordinate (and per extra random
+        direction): one batched pass scores the offset grid at the
+        current point, a point is selected w.p. proportional to pi, a
+        second batched pass scores the grid at the selected point, and
+        the move accepts with min(1, S_x/S_y)."""
+        groups = self._sigma_groups()
+        n_g = len(groups)
+        if n_g == 0:
+            return dict(state)
+        get, set_param, lp_one, lp_batch = self._marginal_helpers(
+            state, y_adj, groups)
+
+        lo, hi = self.marginal_grid_range
+        half = jnp.exp(jnp.linspace(jnp.log(lo), jnp.log(hi),
+                                    self.marginal_grid_points))
+        offs = jnp.concatenate([-half[::-1], half])  # symmetric [2k]
+
+        u_cur = jnp.stack([jnp.log(get(state, path))
+                           for path, _ in groups])
+
+        def one_direction(u_cur, d_vec, kd):
+            k_sel, k_acc = jax.random.split(kd)
+            ys = u_cur[None, :] + offs[:, None] * d_vec[None, :]
+            lp_y = lp_batch(ys)
+            j = jax.random.categorical(k_sel, lp_y)
+            y_sel = ys[j]
+            xs = y_sel[None, :] + offs[:, None] * d_vec[None, :]
+            lp_x = lp_batch(xs)
+            log_acc = (jax.scipy.special.logsumexp(lp_y)
+                       - jax.scipy.special.logsumexp(lp_x))
+            accept = jnp.log(jax.random.uniform(
+                k_acc, (), u_cur.dtype,
+                minval=jnp.finfo(u_cur.dtype).tiny)) < log_acc
+            return jnp.where(accept, y_sel, u_cur)
+
+        eye = jnp.eye(n_g, dtype=u_cur.dtype)
+        for g in range(n_g):
+            u_cur = one_direction(u_cur, eye[g],
+                                  jax.random.fold_in(key, g))
+        for r in range(self.marginal_grid_dirs):
+            kr = jax.random.fold_in(key, 100 + r)
+            kd, km = jax.random.split(kr)
+            d = jax.random.normal(kd, (n_g,), u_cur.dtype)
+            d = d / jnp.sqrt(jnp.sum(d * d))
+            u_cur = one_direction(u_cur, d, km)
+
+        out = dict(state)
+        for gi, (path, _prior) in enumerate(groups):
+            out = set_param(out, path, jnp.exp(u_cur[gi]))
+        return out
+
+    def _marginal_sigma_mtm(self, key, state, y_adj):
+        """Multiple-try Metropolis on the joint log-variance vector with
+        the state path integrated out by the Kalman filter.
+
+        Each move: draw `marginal_mtm_trials` candidates y_i = u + s_i e_i
+        (per-slot scales s_i from a geometric ladder), score ALL of them
+        with one candidate-batched loglik-only filter pass, pick j w.p.
+        proportional to pi(y_j), draw the reference set x*_i = y_j + s_i
+        e'_i (x*_j = u) and score it with a second batched pass, accept
+        with min(1, sum pi(y)/sum pi(x*)). Per-slot proposals T_i are
+        symmetric, so with lambda_i = 1/T_i the MTM weights reduce to
+        w_i = pi(y_i) and the move is exactly invariant.
+
+        Why MTM and not slice here: the sweep's unit cost is SEQUENTIAL
+        time-axis scans, and a slice move needs ~15 of them; MTM needs 2,
+        with the candidate axis batched into the scan step (16 candidates
+        of d=2 filter work per chain don't approach VPU saturation).
+        After the jump the conditional sweep's smoother re-imputes the
+        state, so this composes exactly like the slice variant."""
+        groups = self._sigma_groups()
+        n_g = len(groups)
+        if n_g == 0:
+            return dict(state)
+        k_trials = self.marginal_mtm_trials
+        lo, hi = self.marginal_mtm_ladder
+        # Trial slots: one block of ladder-scaled slots PER COORDINATE
+        # (one-hot directions — the coordinate-slice move's adaptivity,
+        # bought with batch width: some rung of the ladder is always at
+        # the coordinate's local scale) plus one block of joint slots.
+        # Heterogeneous per-slot proposals are valid MTM: each slot i
+        # pairs its candidate with a reference drawn from the SAME
+        # symmetric T_i, so w_i = pi(y_i) slot-wise.
+        blocks = n_g + 1
+        per_block = max(k_trials // blocks, 2)
+        k_trials = per_block * blocks
+        ladder = self.marginal_mtm_width * jnp.exp(
+            jnp.linspace(jnp.log(lo), jnp.log(hi), per_block))
+        dirs = jnp.concatenate(
+            [jnp.repeat(jnp.eye(n_g), per_block, axis=0),
+             jnp.ones((per_block, n_g))], axis=0)  # [k, G]
+        scales = jnp.tile(ladder, blocks)[:, None] * dirs  # [k, G]
+
+        get, set_param, lp_one, lp_batch = self._marginal_helpers(
+            state, y_adj, groups)
+
+        u_cur = jnp.stack([jnp.log(get(state, path))
+                           for path, _ in groups])
+        lp_cur = lp_one(u_cur)
+        for m in range(self.marginal_mtm_moves):
+            km = jax.random.fold_in(key, m)
+            k1, k2, k3, k4 = jax.random.split(km, 4)
+            eps = jax.random.normal(k1, (k_trials, n_g), u_cur.dtype)
+            ys = u_cur[None, :] + scales * eps
+            lp_y = lp_batch(ys)
+            j = jax.random.categorical(k2, lp_y)
+            y_sel = ys[j]
+            eps2 = jax.random.normal(k3, (k_trials, n_g), u_cur.dtype)
+            xs = y_sel[None, :] + scales * eps2
+            xs = xs.at[j].set(u_cur)
+            lp_x = lp_batch(xs).at[j].set(lp_cur)
+            log_acc = (jax.scipy.special.logsumexp(lp_y)
+                       - jax.scipy.special.logsumexp(lp_x))
+            accept = jnp.log(jax.random.uniform(
+                k4, (), u_cur.dtype,
+                minval=jnp.finfo(u_cur.dtype).tiny)) < log_acc
+            u_cur = jnp.where(accept, y_sel, u_cur)
+            lp_cur = jnp.where(accept, lp_y[j], lp_cur)
+
+        out = dict(state)
+        for gi, (path, _prior) in enumerate(groups):
+            out = set_param(out, path, jnp.exp(u_cur[gi]))
         return out
 
     # -- ASIS interweaving ---------------------------------------------------
@@ -467,7 +677,7 @@ class Bsts:
 
         def neg_loglik(us):
             st = set_all(state, us)
-            return -kalman_filter(self.ssm_params(st), y_adj).loglik
+            return -kalman_loglik(self.ssm_params(st), y_adj)
 
         u0 = jnp.stack([
             jnp.log(state["sigsq_obs"] if path[0] == "sigsq_obs"
@@ -482,7 +692,7 @@ class Bsts:
         y_adj = self.y
         if self.predictors is not None:
             y_adj = self.y - self.predictors @ state["beta"]
-        return kalman_filter(self.ssm_params(state), y_adj).loglik
+        return kalman_loglik(self.ssm_params(state), y_adj)
 
     def state_contributions(self, state):
         """Per-block contribution paths {name: [T]} (bsts plot analog)."""
@@ -618,32 +828,32 @@ def asis_redraw(key, blocks, params, state, y_adj, h, slice_steps=8):
     if n_groups == 0:
         return dict(state)
 
-    # --- one D-path recurrence per group (the only T-length work) -------
-    dpaths, g_vecs, sig_curs = [], [], []
-    for (bname, pname, prior, dims) in groups:
-        sig_cur = jnp.sqrt(jnp.maximum(new_blocks[bname][pname], 1e-30))
-        cols = jnp.zeros((eta.shape[1],), alpha.dtype)
-        for dcol in dims:
-            cols = cols.at[dcol].set(1.0)
-        tilde = (eta * cols[None, :]) / sig_cur  # [T-1, q]
-        w = _mv(r_mat, tilde)  # [T-1, d]
-
-        from boom_tpu.statespace.kalman import _mv
-
-        def rec(dprev, w_t):
-            dnext = _mv(t_mat, dprev) + w_t
-            return dnext, dnext
-
-        d0 = jnp.zeros((alpha.shape[1],), alpha.dtype)
-        _, dpath = jax.lax.scan(rec, d0, w, unroll=8)
-        dpath = jnp.concatenate([d0[None], dpath], axis=0)  # [T, d]
-        dpaths.append(dpath)
-        g_vecs.append(jnp.einsum("td,td->t", zs, dpath))
-        sig_curs.append(sig_cur)
-
+    # --- D-path recurrences, ALL groups in one stacked scan -------------
+    # (the only T-length work of the ASIS pass; groups share t_mat, so
+    # stacking them as a leading axis of the scan carry fuses G scans
+    # into one — time-axis scan count is the sweep's unit cost)
+    sig_curs = [jnp.sqrt(jnp.maximum(new_blocks[b][p], 1e-30))
+                for (b, p, _prior, _dims) in groups]
     sigs = jnp.stack(sig_curs)  # [G]
-    g_mat = jnp.stack(g_vecs)  # [G, T]
-    alpha_base = alpha - sum(s * d for s, d in zip(sig_curs, dpaths))
+    cols_mat = jnp.zeros((n_groups, eta.shape[1]), alpha.dtype)
+    for gi, (_b, _p, _prior, dims) in enumerate(groups):
+        for dcol in dims:
+            cols_mat = cols_mat.at[gi, dcol].set(1.0)
+    # tilde[t, g, :] = group-g masked standardized innovations
+    tilde = (eta[:, None, :] * cols_mat[None, :, :]
+             / sigs[None, :, None])  # [T-1, G, q]
+    w_all = jnp.einsum("dq,tgq->tgd", r_mat, tilde)  # [T-1, G, d]
+
+    def rec(dprev, w_t):  # dprev [G, d]
+        dnext = _mv(t_mat, dprev) + w_t
+        return dnext, dnext
+
+    d0 = jnp.zeros((n_groups, alpha.shape[1]), alpha.dtype)
+    _, dstack = jax.lax.scan(rec, d0, w_all, unroll=8)
+    dstack = jnp.concatenate([d0[None], dstack], axis=0)  # [T, G, d]
+    dpaths = [dstack[:, gi] for gi in range(n_groups)]
+    g_mat = jnp.einsum("td,tgd->gt", zs, dstack)  # [G, T]
+    alpha_base = alpha - jnp.einsum("g,tgd->td", sigs, dstack)
     r0 = y_adj - jnp.einsum("td,td->t", zs, alpha_base)  # [T]
     gram = jnp.einsum("gt,et->ge", g_mat / h, g_mat)  # [G, G]
     c_vec = jnp.einsum("gt,t->g", g_mat / h, r0)  # [G]
@@ -667,8 +877,14 @@ def asis_redraw(key, blocks, params, state, y_adj, h, slice_steps=8):
                 return lp + others * sig - 0.5 * a_coef * sigsq
 
             width = jnp.maximum(sigs[gi], 0.05 * prior.sigma_guess)
+            # bounded fixed-trip counts: each eval here is scalar-cheap,
+            # but the default 16/32 trips are ~1300 sequential tiny ops
+            # per sweep — pure dispatch latency on TPU. 1-d log-concave-
+            # ish conditionals bracket in far fewer trips; unconverged
+            # lanes keep the current point (still exactly invariant).
             sig_new = slice_step(gk, sigs[gi], logp, width,
-                                 lower=1e-12, upper=upper)
+                                 lower=1e-12, upper=upper,
+                                 expand_iters=5, shrink_iters=10)
             sigs = sigs.at[gi].set(sig_new)
 
     # --- rebuild state -----------------------------------------------------
@@ -683,7 +899,7 @@ def asis_redraw(key, blocks, params, state, y_adj, h, slice_steps=8):
     return out
 
 
-def one_step_prediction_errors(model, states):
+def one_step_prediction_errors(model, states, standardize=True):
     """Standardized one-step-ahead prediction errors v_t / sqrt(F_t) for
     a batch of posterior draws (reference bsts.cc:197
     one-step-prediction-errors path; StateSpaceModel.cpp
@@ -696,6 +912,9 @@ def one_step_prediction_errors(model, states):
     simulate_holdout_prediction_errors semantics).
 
     states: pytree with leading draw axis (e.g. McmcResult.stacked()).
+    standardize=False returns the raw errors v_t (the reference's
+    bsts.prediction.errors(standardize = FALSE) path, used by
+    PlotBstsForecastDistribution: forecast = y - raw errors).
     Returns [draws, T]."""
 
     def one(state):
@@ -703,7 +922,9 @@ def one_step_prediction_errors(model, states):
         if model.predictors is not None:
             y_adj = model.y - model.predictors @ state["beta"]
         filt = kalman_filter(model.ssm_params(state), y_adj)
-        return filt.v / jnp.sqrt(filt.f)
+        if standardize:
+            return filt.v / jnp.sqrt(filt.f)
+        return filt.v
 
     return jax.jit(jax.vmap(one))(states)
 

@@ -136,3 +136,13 @@ def test_lm_spike_plot_dispatch():
     assert ax is not None
     with pytest.raises(ValueError):
         m.plot("nope")
+
+
+def test_qqdist_and_acf_dist():
+    rng = np.random.default_rng(5)
+    draws = rng.normal(size=(80, 60)) + rng.normal(size=(1, 60))
+    ax = rplots.qqdist(draws)
+    assert len(ax.collections) > 5  # fan bands
+    assert len(ax.lines) >= 2  # reference line + points
+    ax2 = rplots.acf_dist(draws, lag_max=8)
+    assert ax2.get_xlabel() == "Lag"

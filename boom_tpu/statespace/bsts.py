@@ -136,12 +136,30 @@ class Bsts:
     #       proposal is a near-exact draw from the 1-d conditional
     #       (the slice sampler's quality at 2 batched scans/coordinate
     #       instead of ~15 sequential ones).
-    marginal_move: str = "grid"
+    #   "tim"  — tailored-independence multiple-try (the reference's
+    #       TIM sampler, Samplers/TIM.hpp:42, applied to the marginal):
+    #       a multivariate-T proposal is fitted ONCE at the mode of the
+    #       G-dimensional marginal posterior p(log variances | y)
+    #       (Newton + Laplace Hessian, eager at model build), then each
+    #       sweep scores `marginal_tim_trials` iid proposal draws plus
+    #       the current point in ONE candidate-batched filter pass and
+    #       does a multiple-try independence-MH exchange (select j
+    #       w.p. proportional to the importance weight pi/q; accept
+    #       with sum-weight ratio). Because the proposal does not
+    #       depend on the current point, the reference set reuses the
+    #       SAME candidate scores — one batched scan per sweep total,
+    #       and with a well-fitted proposal the recorded variances are
+    #       near-iid marginal-posterior draws (what the slice buys with
+    #       ~75 sequential scans).
+    marginal_move: str = "tim"
     marginal_mtm_trials: int = 16
     marginal_mtm_moves: int = 2
     marginal_grid_points: int = 10  # per side
     marginal_grid_range: tuple = (0.02, 4.0)  # log-variance offsets
     marginal_grid_dirs: int = 1  # extra random-direction grid moves
+    marginal_tim_trials: int = 16
+    marginal_tim_df: float = 3.0
+    marginal_tim_inflate: float = 1.3
     # geometric ladder of per-slot proposal sds in log-variance space:
     # trials cover [width*ladder_lo, width*ladder_hi] so one move both
     # polishes locally and jumps scales (the slice sampler's adaptivity,
@@ -168,6 +186,12 @@ class Bsts:
                 self, "obs_prior",
                 SdPrior(sigma_guess=0.5 * sd, sample_size=0.01,
                         upper_limit=1.2 * sd))
+        if self.marginal_sigma_slice and self.marginal_move == "tim":
+            # eager, once per model: Newton mode + Laplace covariance of
+            # the marginal log-variance posterior (TIM locate_mode).
+            # Built here so no jitted sweep ever traces the mode search.
+            object.__setattr__(self, "_tim_prop",
+                               self._build_tim_proposal())
 
     # -- composite system ---------------------------------------------------
     @property
@@ -361,6 +385,7 @@ class Bsts:
             if self.marginal_sigma_slice and do_marginal:
                 pass_fn = {"mtm": self._marginal_sigma_mtm,
                            "grid": self._marginal_sigma_grid,
+                           "tim": self._marginal_sigma_tim,
                            "slice": self._marginal_sigma_pass}[
                     self.marginal_move]
                 out = pass_fn(jax.random.fold_in(key, 977), out, y_adj)
@@ -513,6 +538,98 @@ class Bsts:
 
         return get, set_param, lp_one, jax.vmap(lp_one)
 
+    def _build_tim_proposal(self):
+        """(mode [G], chol [G, G]) of the multivariate-T tailored to
+        p(log variances | y) — reference TIM::locate_mode (TIM.hpp:42)
+        applied to the Kalman-marginal posterior. For regression models
+        the proposal is tailored at beta = 0; independence-MH acceptance
+        corrects exactly, only efficiency varies."""
+        from boom_tpu import numopt
+
+        groups = self._sigma_groups()
+        if not groups:
+            return None
+        key0 = jax.random.key(0)
+        template = {
+            "blocks": {b.name: b.init_params(jax.random.fold_in(key0, i))
+                       for i, b in enumerate(self.blocks)},
+            "sigsq_obs": jnp.var(self.y) * 0.5,
+            "alpha": jnp.zeros((self.t_len, self.state_dim)),
+        }
+        _get, _set, lp_one, _ = self._marginal_helpers(
+            template, self.y, groups)
+
+        def neg(u):
+            lp = lp_one(u)
+            # smooth the prior's hard upper-limit truncation out of the
+            # mode search; candidates beyond the limit are rejected by
+            # the exact acceptance anyway
+            return -jnp.where(jnp.isfinite(lp), lp, -1e30)
+
+        u0 = jnp.stack([
+            jnp.log(jnp.asarray(prior.sigma_guess ** 2,
+                                self.y.dtype))
+            for _path, prior in groups])
+        # BFGS first (robust far from the mode, where the marginal is
+        # ridge-shaped and raw Newton stalls at saddles), Newton polish
+        res = numopt.bfgs(neg, u0, max_iters=120)
+        res = numopt.newton_raphson(neg, res.x, max_iters=10)
+        mode = res.x
+        h = jax.hessian(neg)(mode)
+        h = 0.5 * (h + h.T)
+        # eigen-clamp: the exact Hessian can be indefinite along a
+        # near-flat boundary direction; clamping keeps the proposal
+        # covariance finite and WIDE along flat directions (df-3 tails
+        # + exact acceptance absorb any remaining mismatch)
+        w, v = jnp.linalg.eigh(h)
+        w = jnp.maximum(w, 1e-3 * jnp.maximum(jnp.max(w), 1.0))
+        cov = (v / w[None, :]) @ v.T
+        cov = (0.5 * (cov + cov.T)) * self.marginal_tim_inflate ** 2
+        chol = jnp.linalg.cholesky(cov)
+        return (jax.device_get(mode), jax.device_get(chol))
+
+    def _marginal_sigma_tim(self, key, state, y_adj):
+        """Multiple-try INDEPENDENCE MH from the tailored-T proposal
+        (see marginal_move="tim"): k iid proposal draws + the current
+        point scored in one candidate-batched loglik pass; select J
+        w.p. proportional to the importance weight w = pi/q; accept
+        with min(1, sum_i w(y_i) / [sum_{i != J} w(y_i) + w(x)]) —
+        the MTM independence sampler (Liu-Liang-Wong 2000 §3), whose
+        reference set reuses the candidate scores because q does not
+        depend on the current point."""
+        groups = self._sigma_groups()
+        if not groups:
+            return dict(state)
+        mode, chol = self._tim_prop
+        mode = jnp.asarray(mode, y_adj.dtype)
+        chol = jnp.asarray(chol, y_adj.dtype)
+        df = self.marginal_tim_df
+        get, set_param, lp_one, lp_batch = self._marginal_helpers(
+            state, y_adj, groups)
+
+        u_cur = jnp.stack([jnp.log(get(state, path))
+                           for path, _ in groups])
+        k1, k2, k3 = jax.random.split(key, 3)
+        k_tr = self.marginal_tim_trials
+        cands = dists.mvt.sample(k1, mode, None, df, chol=chol,
+                                 shape=(k_tr,))
+        pts = jnp.concatenate([cands, u_cur[None, :]], axis=0)
+        lps = lp_batch(pts)  # ONE batched filter scan
+        lqs = dists.mvt.logpdf(pts, mode, None, df, chol=chol)
+        w = lps - lqs  # log importance weights [k+1]
+        j = jax.random.categorical(k2, w[:k_tr])
+        sum_y = jax.scipy.special.logsumexp(w[:k_tr])
+        sum_x = jax.scipy.special.logsumexp(w[:k_tr].at[j].set(w[k_tr]))
+        accept = jnp.log(jax.random.uniform(
+            k3, (), u_cur.dtype,
+            minval=jnp.finfo(u_cur.dtype).tiny)) < sum_y - sum_x
+        u_new = jnp.where(accept, pts[j], u_cur)
+
+        out = dict(state)
+        for gi, (path, _prior) in enumerate(groups):
+            out = set_param(out, path, jnp.exp(u_new[gi]))
+        return out
+
     def _marginal_sigma_grid(self, key, state, y_adj):
         """Deterministic symmetric-grid multiple-try move on the log
         variances (see the marginal_move="grid" dataclass comment for
@@ -536,8 +653,22 @@ class Bsts:
         u_cur = jnp.stack([jnp.log(get(state, path))
                            for path, _ in groups])
 
-        def one_direction(u_cur, d_vec, kd):
-            k_sel, k_acc = jax.random.split(kd)
+        # all moves (G coordinates + random directions) as ONE scanned
+        # body over a stacked direction array — the move body holds two
+        # candidate-batched filter scans, so python-unrolling it per
+        # direction multiplies the HLO by the direction count
+        eye = jnp.eye(n_g, dtype=u_cur.dtype)
+        kd = jax.random.fold_in(key, 555)
+        rdirs = jax.random.normal(
+            kd, (max(self.marginal_grid_dirs, 1), n_g), u_cur.dtype)
+        rdirs = rdirs / jnp.sqrt(
+            jnp.sum(rdirs * rdirs, axis=1, keepdims=True))
+        dirs = (jnp.concatenate([eye, rdirs], axis=0)
+                if self.marginal_grid_dirs > 0 else eye)
+
+        def one_direction(u_cur, inp):
+            d_vec, kd_ = inp
+            k_sel, k_acc = jax.random.split(kd_)
             ys = u_cur[None, :] + offs[:, None] * d_vec[None, :]
             lp_y = lp_batch(ys)
             j = jax.random.categorical(k_sel, lp_y)
@@ -549,18 +680,11 @@ class Bsts:
             accept = jnp.log(jax.random.uniform(
                 k_acc, (), u_cur.dtype,
                 minval=jnp.finfo(u_cur.dtype).tiny)) < log_acc
-            return jnp.where(accept, y_sel, u_cur)
+            return jnp.where(accept, y_sel, u_cur), None
 
-        eye = jnp.eye(n_g, dtype=u_cur.dtype)
-        for g in range(n_g):
-            u_cur = one_direction(u_cur, eye[g],
-                                  jax.random.fold_in(key, g))
-        for r in range(self.marginal_grid_dirs):
-            kr = jax.random.fold_in(key, 100 + r)
-            kd, km = jax.random.split(kr)
-            d = jax.random.normal(kd, (n_g,), u_cur.dtype)
-            d = d / jnp.sqrt(jnp.sum(d * d))
-            u_cur = one_direction(u_cur, d, km)
+        u_cur, _ = jax.lax.scan(
+            one_direction, u_cur,
+            (dirs, jax.random.split(key, dirs.shape[0])))
 
         out = dict(state)
         for gi, (path, _prior) in enumerate(groups):

@@ -188,6 +188,58 @@ def kalman_filter(params: SsmParams, y, observed=None) -> FilterResult:
     return FilterResult(loglik=ll.sum(), v=v, f=f, k=k, a=a, p=p)
 
 
+def kalman_loglik(params: SsmParams, y, observed=None):
+    """Marginal log likelihood only: the filter runs with NOTHING stacked
+    per step (loglik accumulates in the carry), so no [T, ...] outputs are
+    ever written. This is the evaluation primitive for marginal-variance
+    moves (Bsts marginal slice/MTM), MLE, and log_lik, where dozens of
+    likelihood evaluations per sweep would otherwise pay the smoother's
+    HBM write traffic for arrays they never read."""
+    y = jnp.asarray(y)
+    t_len = y.shape[0]
+    dtype = params.t_mat.dtype
+    if observed is None:
+        observed = jnp.ones((t_len,), bool)
+    tv = params.time_varying
+    t_mat = params.t_mat
+
+    def step_core(a, p, ll, y_t, obs_t, z_t, h_t, rqr_t):
+        v = jnp.where(obs_t, y_t - _vdot(z_t, a), 0.0)
+        pz = _mv(p, z_t)
+        f = _vdot(z_t, pz) + h_t
+        k_gain = jnp.where(obs_t, _mv(t_mat, pz) / f, jnp.zeros_like(pz))
+        l_mat = t_mat - k_gain[..., :, None] * z_t[..., None, :]
+        a_next = _mv(t_mat, a) + k_gain * v
+        p_next = _mm(_mm(t_mat, p), jnp.swapaxes(l_mat, -1, -2)) + rqr_t
+        p_next = 0.5 * (p_next + jnp.swapaxes(p_next, -1, -2))
+        ll_next = ll + jnp.where(
+            obs_t,
+            -0.5 * (math.log(2.0 * math.pi) + jnp.log(f) + v * v / f),
+            0.0)
+        return a_next, p_next, ll_next
+
+    if tv:
+        xs = (y.astype(dtype), observed, params.zs(t_len).astype(dtype),
+              params.hs(t_len).astype(dtype), params.rqrs(t_len))
+
+        def step(carry, inp):
+            return step_core(*carry, *inp), None
+    else:
+        rqr = params.rqr
+        z_vec, h_sc = params.z, params.h
+        xs = (y.astype(dtype), observed)
+
+        def step(carry, inp):
+            return step_core(*carry, inp[0], inp[1], z_vec, h_sc,
+                             rqr), None
+
+    (_, _, ll), _ = jax.lax.scan(
+        step, (params.a0.astype(dtype), params.p0.astype(dtype),
+               jnp.zeros((), dtype)),
+        xs, unroll=SCAN_UNROLL)
+    return ll
+
+
 def _smoother_passes(params: SsmParams, v, f, k, observed):
     """Backward r recursion + forward state recursion given the filter's
     (v, f, k) streams (reference fast_disturbance_smooth,
@@ -262,16 +314,17 @@ def simulate(key, params: SsmParams, t_len: int):
         params.q_mat + 1e-12 * jnp.eye(q_dim, dtype=dtype))
     scales = (jnp.ones((t_len, q_dim), dtype) if params.q_scale is None
               else params.q_scale)
+    # all T-1 innovation normals in ONE vectorized RNG call: per-step
+    # key-split + threefry inside the scan body costs more than the
+    # Kalman step itself at small state dims
+    norms = jax.random.normal(ka, (t_len - 1, q_dim), dtype)
+    etas = scales[:-1] * jnp.einsum("ij,tj->ti", q_chol, norms)
 
-    def step(alpha, inp):
-        k, s_t = inp
-        eta = s_t * _mv(q_chol, jax.random.normal(k, (q_dim,), dtype))
-        alpha_next = _mv(params.t_mat, alpha) + _mv(params.r_mat, eta)
+    def step(alpha, eta_t):
+        alpha_next = _mv(params.t_mat, alpha) + _mv(params.r_mat, eta_t)
         return alpha_next, alpha_next
 
-    _, alphas = jax.lax.scan(
-        step, alpha1, (jax.random.split(ka, t_len - 1), scales[:-1]),
-        unroll=SCAN_UNROLL)
+    _, alphas = jax.lax.scan(step, alpha1, etas, unroll=SCAN_UNROLL)
     alphas = jnp.concatenate([alpha1[None], alphas], axis=0)
     eps = jnp.sqrt(params.hs(t_len)) * jax.random.normal(ke, (t_len,), dtype)
     y = jnp.einsum("td,td->t", params.zs(t_len), alphas) + eps
@@ -288,9 +341,61 @@ def simulation_smoother(key, params: SsmParams, y, observed=None):
     with zero initial mean. The smoother is affine in the data,
     E[alpha|y] = c(a0) + A y, so alpha_hat(y) - alpha_hat(y_plus) =
     A (y - y_plus) = E_0[alpha | y - y_plus]: one filter+smoother on the
-    difference replaces the reference's two lockstep filters."""
+    difference replaces the reference's two lockstep filters. On the
+    static-system path the unconditional simulation is FUSED into the
+    filter scan (one forward scan instead of two) with all RNG hoisted
+    out — time-axis scan count is the unit cost of the bsts sweep."""
     y = jnp.asarray(y)
-    alpha_plus, y_plus = simulate(key, params, y.shape[0])
+    t_len = y.shape[0]
+    if observed is None:
+        observed = jnp.ones((t_len,), bool)
+    if params.time_varying:
+        alpha_plus, y_plus = simulate(key, params, t_len)
+        params0 = params._replace(a0=jnp.zeros_like(params.a0))
+        alpha_hat_diff = smooth_states(params0, y - y_plus, observed)
+        return alpha_plus + alpha_hat_diff
+
+    # ---- fused static path ------------------------------------------------
+    dtype = params.t_mat.dtype
+    k0, ka, ke = jax.random.split(key, 3)
+    d = params.a0.shape[0]
+    p0_chol = jnp.linalg.cholesky(
+        params.p0 + 1e-12 * jnp.eye(d, dtype=dtype))
+    alpha1 = params.a0 + _mv(p0_chol, jax.random.normal(k0, (d,), dtype))
+    q_dim = params.q_mat.shape[0]
+    q_chol = jnp.linalg.cholesky(
+        params.q_mat + 1e-12 * jnp.eye(q_dim, dtype=dtype))
+    norms = jax.random.normal(ka, (t_len - 1, q_dim), dtype)
+    # state-space innovations R eta_t, pre-expanded to [T-1, d]; a zero
+    # row pads the last step (its innovation is never used)
+    w = jnp.einsum("dq,tq->td", params.r_mat,
+                   jnp.einsum("ij,tj->ti", q_chol, norms))
+    w = jnp.concatenate([w, jnp.zeros((1, d), dtype)], axis=0)
+    eps = jnp.sqrt(params.h).astype(dtype) * jax.random.normal(
+        ke, (t_len,), dtype)
+
+    t_mat, z_vec, h_sc, rqr = (params.t_mat, params.z, params.h,
+                               params.rqr)
+
+    def step(carry, inp):
+        alpha_sim, a, p = carry
+        y_t, obs_t, w_t, eps_t = inp
+        yd = y_t - (_vdot(z_vec, alpha_sim) + eps_t)
+        v = jnp.where(obs_t, yd - _vdot(z_vec, a), 0.0)
+        pz = _mv(p, z_vec)
+        f = _vdot(z_vec, pz) + h_sc
+        k_gain = jnp.where(obs_t, _mv(t_mat, pz) / f, jnp.zeros_like(pz))
+        l_mat = t_mat - k_gain[..., :, None] * z_vec[..., None, :]
+        a_next = _mv(t_mat, a) + k_gain * v
+        p_next = _mm(_mm(t_mat, p), jnp.swapaxes(l_mat, -1, -2)) + rqr
+        p_next = 0.5 * (p_next + jnp.swapaxes(p_next, -1, -2))
+        alpha_next = _mv(t_mat, alpha_sim) + w_t
+        return (alpha_next, a_next, p_next), (alpha_sim, v, f, k_gain)
+
+    zero_a = jnp.zeros_like(params.a0).astype(dtype)
+    (_, _, _), (alpha_plus, v, f, k) = jax.lax.scan(
+        step, (alpha1.astype(dtype), zero_a, params.p0.astype(dtype)),
+        (y.astype(dtype), observed, w, eps), unroll=SCAN_UNROLL)
     params0 = params._replace(a0=jnp.zeros_like(params.a0))
-    alpha_hat_diff = smooth_states(params0, y - y_plus, observed)
+    alpha_hat_diff = _smoother_passes(params0, v, f, k, observed)
     return alpha_plus + alpha_hat_diff

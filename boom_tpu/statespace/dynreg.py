@@ -120,6 +120,26 @@ class SparseDynamicRegression:
     innovation_prior: SdPrior | None = None  # on tau_j (unscaled)
     inclusion_prior: MarkovInclusionPrior = MarkovInclusionPrior()
     column_moves: bool = True
+    # How the collapsed column moves execute:
+    #   "sequential" — exact serial scan over columns, 3 T-length scans
+    #       per column (the r3 kernel). O(p) sequential scans per sweep:
+    #       fine for small p, crawls at p ~ hundreds ("wide" regime).
+    #   "parallel"   — ALL p proposals drawn and scored against the
+    #       pass-start state in 2 batched T-scans, then accepted in a
+    #       random order with the staleness-exact rule: a column's
+    #       precomputed acceptance is valid until some EARLIER accepted
+    #       column changed the shared residual, and a column acceptance
+    #       only changes the residual when it zeroes a previously
+    #       NONZERO coefficient (pure turn-on flips leave beta at 0
+    #       until the FFBS refresh). So every acceptance up to and
+    #       including the first residual-changing one is the exact
+    #       sequential kernel; later columns keep their current path
+    #       (an identity move — lazy but invariant). `column_pass
+    #       _repeats` fresh passes recover the multiple-shrink-moves-
+    #       per-sweep behaviour at 2 batched scans each.
+    #   "auto"       — parallel when p > 16.
+    column_move_style: str = "auto"
+    column_pass_repeats: int = 2
 
     def __post_init__(self):
         x, y = self.x, self.y
@@ -297,6 +317,21 @@ class SparseDynamicRegression:
                 (path, a_col, s_col))
             return jnp.sum(lls)
 
+        def propose_column(kk, q01_j, q10_j):
+            """One whole inclusion path from its Markov-chain prior."""
+            k0, kr = jax.random.split(kk)
+            pi = q01_j / (q01_j + q10_j)
+            g0 = jax.random.uniform(k0, ()) < pi
+
+            def step(g, k2):
+                p_on = jnp.where(g, 1.0 - q10_j, q01_j)
+                g_new = jax.random.uniform(k2, ()) < p_on
+                return g_new, g_new
+
+            _, rest = jax.lax.scan(step, g0,
+                                   jax.random.split(kr, t_len - 1))
+            return jnp.concatenate([g0[None], rest])
+
         def column_mh(key, gamma, beta, tau_sq, sigsq, q01, q10):
             """Independence-MH on each coefficient's whole inclusion
             path, proposing from its Markov-chain prior and accepting
@@ -304,20 +339,6 @@ class SparseDynamicRegression:
             the full series). The prior cancels in the ratio. After an
             accepted flip the coefficient path is stale; FFBS redraws
             all coefficients immediately after."""
-
-            def propose_column(kk, q01_j, q10_j):
-                k0, kr = jax.random.split(kk)
-                pi = q01_j / (q01_j + q10_j)
-                g0 = jax.random.uniform(k0, ()) < pi
-
-                def step(g, k2):
-                    p_on = jnp.where(g, 1.0 - q10_j, q01_j)
-                    g_new = jax.random.uniform(k2, ()) < p_on
-                    return g_new, g_new
-
-                _, rest = jax.lax.scan(step, g0,
-                                       jax.random.split(kr, t_len - 1))
-                return jnp.concatenate([g0[None], rest])
 
             def body(carry, inp):
                 gamma, beta = carry
@@ -347,6 +368,53 @@ class SparseDynamicRegression:
             keys = jax.random.split(key, p)
             (gamma, beta), _ = jax.lax.scan(
                 body, (gamma, beta), (jnp.arange(p), keys))
+            return gamma, beta
+
+        def column_mh_parallel(key, gamma, beta, tau_sq, sigsq, q01,
+                               q10):
+            """Batched column moves for the wide-p regime (see
+            column_move_style): 2 batched T-scans score all p proposals
+            at once; acceptance in random order with the staleness-exact
+            rule (only the first residual-CHANGING acceptance per pass
+            lands; pure turn-on acceptances never invalidate anyone)."""
+            s_all = jnp.diagonal(xtx, axis1=-2, axis2=-1)  # [T, p]
+
+            def one_pass(carry, kk):
+                gamma, beta = carry
+                kp_, ka_, kperm = jax.random.split(kk, 3)
+                props = jax.vmap(propose_column)(
+                    jax.random.split(kp_, p), q01, q10)  # [p, T]
+                # residual sufstats vs the PASS-START beta, all columns
+                a_all = (xty - jnp.einsum("tjq,tq->tj", xtx, beta)
+                         + s_all * beta)  # [T, p]
+                paths = jnp.concatenate(
+                    [props, gamma.T], axis=0)  # [2p, T]
+                lls = jax.vmap(
+                    lambda path, a, s, tq: column_loglik(
+                        path, a, s, tq, sigsq),
+                    in_axes=(0, 1, 1, 0))(
+                    paths, jnp.tile(a_all, (1, 2)),
+                    jnp.tile(s_all, (1, 2)), jnp.tile(tau_sq, 2))
+                ll_prop, ll_cur = lls[:p], lls[p:]
+                logu = jnp.log(jax.random.uniform(
+                    ka_, (p,), beta.dtype,
+                    minval=jnp.finfo(beta.dtype).tiny))
+                accept = logu < ll_prop - ll_cur
+                # shrink flag: acceptance would zero a nonzero beta
+                shrinks = accept & jnp.any(
+                    (~props.T) & (beta != 0.0), axis=0)
+                order = jax.random.permutation(kperm, p)
+                rank = jnp.argsort(order)  # rank[j] = position of j
+                shrink_rank = jnp.where(shrinks, rank, p)
+                first_shrink = jnp.min(shrink_rank)
+                final = accept & (rank <= first_shrink)
+                new_gamma = jnp.where(final[None, :], props.T, gamma)
+                new_beta = jnp.where(new_gamma, beta, 0.0)
+                return (new_gamma, new_beta), None
+
+            (gamma, beta), _ = jax.lax.scan(
+                one_pass, (gamma, beta),
+                jax.random.split(key, self.column_pass_repeats))
             return gamma, beta
 
         def ffbs(key, gamma, tau_sq, sigsq):
@@ -432,7 +500,12 @@ class SparseDynamicRegression:
                 k_g, state["gamma"], state["beta"], state["tau_sq"],
                 state["sigsq"], state["q01"], state["q10"])
             if self.column_moves:
-                gamma, beta = column_mh(
+                style = self.column_move_style
+                if style == "auto":
+                    style = "parallel" if p > 16 else "sequential"
+                col_fn = (column_mh_parallel if style == "parallel"
+                          else column_mh)
+                gamma, beta = col_fn(
                     k_c, gamma, beta, state["tau_sq"], state["sigsq"],
                     state["q01"], state["q10"])
             out["gamma"] = gamma

@@ -153,3 +153,45 @@ def test_dynreg_api_front_end(rng_key):
     pred = fit.predict(np.zeros((4, p)))
     assert pred.shape[-1] == 4
     assert np.all(np.isfinite(np.asarray(pred)))
+
+
+@pytest.mark.slow
+def test_dynreg_parallel_column_moves_match_sequential(rng_key):
+    """The batched wide-p column move (column_move_style="parallel")
+    must agree in distribution with the exact serial scan on the same
+    data — the staleness-exact acceptance rule is a correctness claim,
+    not an approximation."""
+    x, y, beta_true = _simulate(rng_key, t_len=100, n=20, p=8)
+    seq = SparseDynamicRegression(x=x, y=y,
+                                  column_move_style="sequential")
+    par = SparseDynamicRegression(x=x, y=y, column_move_style="parallel",
+                                  column_pass_repeats=3)
+    gs_s, bs_s, _ = _run(seq, jax.random.key(1), n_iter=400,
+                         keep_from=200)
+    gs_p, bs_p, _ = _run(par, jax.random.key(2), n_iter=400,
+                         keep_from=200)
+    # inclusion probabilities agree
+    incl_s = gs_s.mean((0, 1))
+    incl_p = gs_p.mean((0, 1))
+    assert np.abs(incl_s - incl_p).max() < 0.12, (incl_s, incl_p)
+    # active-coefficient paths agree
+    err_s = np.abs(bs_s.mean(0) - np.asarray(beta_true))[:, :2].mean()
+    err_p = np.abs(bs_p.mean(0) - np.asarray(beta_true))[:, :2].mean()
+    assert err_p < max(2.0 * err_s, 0.15), (err_s, err_p)
+
+
+@pytest.mark.slow
+def test_dynreg_wide_p(rng_key):
+    """Genuinely wide config (p=120): the parallel column move + the
+    red-black pass recover the active set without the serial column
+    scan (which would do 3*p sequential T-scans per sweep)."""
+    x, y, beta_true = _simulate(rng_key, t_len=80, n=40, p=120)
+    model = SparseDynamicRegression(x=x, y=y)  # auto -> parallel
+    gs, bs, _ = _run(model, jax.random.key(3), n_iter=250,
+                     keep_from=120)
+    incl = gs.mean((0, 1))
+    assert incl[0] > 0.7, incl[:4]
+    assert incl[1] > 0.35, incl[:4]
+    assert np.delete(incl, [0, 1]).max() < 0.35, np.sort(incl)[-5:]
+    err0 = np.abs(bs.mean(0)[:, 0] - np.asarray(beta_true)[:, 0]).mean()
+    assert err0 < 0.4, err0

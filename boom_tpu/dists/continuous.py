@@ -182,7 +182,7 @@ class gamma:
     def sample(key, a, b=1.0, shape=None, dtype=None):
         fs, (a_, b_) = _bcast(shape, a, b)
         dtype = dtype or _float_dtype(a_, b_)
-        g = jax.random.gamma(key, a_.astype(dtype), fs)
+        g = jax.random.gamma(key, a_.astype(dtype), fs, dtype=dtype)
         return g / b_.astype(dtype)
 
 

@@ -86,15 +86,17 @@ class SpikeSlabPrior:
         n, p = x.shape
         xtx = x.T @ x
         if prior_inclusion_probabilities is None:
-            pi = jnp.clip(expected_model_size / p, 1e-6, 1.0)
+            pi = jnp.clip(jnp.asarray(expected_model_size / p, x.dtype),
+                          1e-6, 1.0)
             pi = jnp.broadcast_to(pi, (p,))
         else:
             pi = jnp.clip(jnp.asarray(prior_inclusion_probabilities,
                                       x.dtype), 1e-6, 1.0 - 1e-12)
         sample_var = jnp.var(y)
         sigma_guess = jnp.sqrt((1.0 - expected_rsq) * sample_var)
-        mean = jnp.zeros(p) if optional_coefficient_estimate is None else (
-            jnp.asarray(optional_coefficient_estimate))
+        mean = (jnp.zeros(p, x.dtype)
+                if optional_coefficient_estimate is None
+                else jnp.asarray(optional_coefficient_estimate, x.dtype))
         a = diagonal_shrinkage
         omega = prior_information_weight * (
             (1.0 - a) * xtx + a * jnp.diag(jnp.diag(xtx))) / n

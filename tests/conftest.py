@@ -30,7 +30,13 @@ try:
 except Exception:
     pass
 
-jax.config.update("jax_enable_x64", True)
+# The f32 robustness tier (tests/test_f32_robustness.py, -m f32) runs
+# with x64 DISABLED so every kernel executes in the float32 numerics the
+# TPU actually uses; everything else gets double precision.
+if os.environ.get("BOOM_TPU_F32_TIER", "") == "1":
+    jax.config.update("jax_enable_x64", False)
+else:
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: sweep-kernel compiles dominate test wall
 # time on small hosts; cached compiles cut repeat suite runs several-fold.

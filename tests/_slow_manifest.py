@@ -8,6 +8,19 @@ smoke tier is guaranteed by tests/test_smoke.py.
 """
 
 SLOW_TESTS = {
+    # round 4 additions (statistical recover-truth tests)
+    "tests/test_glm_stragglers.py::test_multinomial_probit_recovers_truth",
+    "tests/test_glm_stragglers.py::test_multinomial_probit_choice_probs",
+    "tests/test_glm_stragglers.py::test_hierarchical_poisson_regression_recovers_mu",
+    "tests/test_glm_stragglers.py::test_hierarchical_poisson_regression_exposure",
+    "tests/test_glm_stragglers.py::test_zero_inflated_gamma_regression",
+    "tests/test_glm_stragglers.py::test_weighted_spike_slab",
+    "tests/test_bsts_marginal.py::test_mtm_marginal_matches_conditional_posterior",
+    "tests/test_bsts_marginal.py::test_slice_marginal_matches_mtm_marginal",
+    "tests/test_bsts_marginal.py::test_mtm_marginal_covers_truth",
+    "tests/test_bsts_marginal.py::test_grid_marginal_matches_conditional_posterior",
+    "tests/test_bsts_marginal.py::test_tim_marginal_matches_conditional_posterior",
+    "tests/test_priors_formula.py::test_student_prior_selects_student_model",
     "tests/test_bandits_hier_gp.py::test_logit_bandit_learns_weights",  # 180.2s
     "tests/test_bsts.py::test_marginal_sigma_slice_preserves_posterior",  # 100.3s
     "tests/test_holiday_state_models.py::test_regression_holiday_recovers_pattern[False]",  # 88.4s

@@ -72,3 +72,36 @@ def rng_key():
 @pytest.fixture
 def np_rng():
     return np.random.default_rng(0)
+
+
+# ---- slow-manifest drift detection ---------------------------------------
+# The smoke tier depends on tests/_slow_manifest.py staying current. This
+# hook measures every test's call duration and, at session end, reports
+# any test that ran > SLOW_THRESHOLD_S without a slow marker — the
+# regeneration signal the manifest's header asks for, produced on every
+# run instead of a manual --durations pass.
+SLOW_THRESHOLD_S = 15.0
+_unmarked_slow = []
+
+
+def pytest_runtest_logreport(report):
+    if report.when != "call" or report.duration < SLOW_THRESHOLD_S:
+        return
+    nodeid = report.nodeid.split("[")[0]
+    if report.nodeid in SLOW_TESTS or nodeid in SLOW_TESTS:
+        return
+    if "slow" in getattr(report, "keywords", {}):
+        return
+    _unmarked_slow.append((report.nodeid, report.duration))
+
+
+def pytest_terminal_summary(terminalreporter):
+    if not _unmarked_slow:
+        return
+    terminalreporter.section("slow-manifest drift")
+    terminalreporter.write_line(
+        "these tests exceeded %.0fs without a `slow` marker — add them "
+        "to tests/_slow_manifest.py to keep the smoke tier honest:"
+        % SLOW_THRESHOLD_S)
+    for nodeid, dur in sorted(_unmarked_slow, key=lambda t: -t[1]):
+        terminalreporter.write_line(f'    "{nodeid}",  # {dur:.1f}s')

@@ -264,3 +264,53 @@ def test_smoke_mbsts(rng_key):
     for i in range(3):
         st = kern(jax.random.key(10 + i), st)
     assert _finite(st)
+
+
+def test_smoke_glm_stragglers(rng_key):
+    """Few-sweep coverage of the r4 GLM additions (full statistical
+    tests in test_glm_stragglers.py, slow tier)."""
+    from boom_tpu.models import HierarchicalPoissonRegression
+    from boom_tpu.models.glm import MultinomialProbit
+
+    tb = jnp.asarray([[0.0, 0.0], [1.0, -0.5]])
+    x, choice = MultinomialProbit.simulate(rng_key, 120, 2, tb)
+    mp = MultinomialProbit(x=x, choice=choice, num_choices=2)
+    st = mp.init_state(jax.random.key(0))
+    st = jax.jit(mp.kernel())(jax.random.key(1), st)
+    assert jnp.isfinite(st["b"]).all()
+
+    xh, yh, gh = HierarchicalPoissonRegression.simulate(
+        jax.random.key(2), [40] * 4, jnp.asarray([0.3, 0.2]))
+    hm = HierarchicalPoissonRegression(x=xh, y=yh, group=gh,
+                                       num_groups=4)
+    sth = hm.init_state(jax.random.key(3))
+    sth = jax.jit(hm.kernel())(jax.random.key(4), sth)
+    assert jnp.isfinite(sth["beta"]).all()
+
+
+def test_smoke_bsts_tim_marginal(rng_key):
+    """Few-sweep coverage of the TIM marginal move (bench-critical
+    path; statistical match tests in test_bsts_marginal.py)."""
+    from boom_tpu.statespace import Bsts, LocalLinearTrend
+
+    k1, k2 = jax.random.split(rng_key)
+    y = jnp.cumsum(0.2 * jax.random.normal(k1, (80,))) \
+        + 0.5 * jax.random.normal(k2, (80,))
+    model = Bsts(y=y, blocks=[LocalLinearTrend.default(y)],
+                 marginal_sigma_slice=True, marginal_move="tim",
+                 marginal_tim_trials=8)
+    st = model.init_state(jax.random.key(0))
+    st = jax.jit(model.kernel())(jax.random.key(1), st)
+    assert jnp.isfinite(st["sigsq_obs"]).all()
+
+
+def test_smoke_irt_framework(rng_key):
+    from boom_tpu.models.irt import IrtModel
+
+    resp, loadings, _ = IrtModel.simulate(rng_key, n=60,
+                                          items_per_scale=3)
+    model = IrtModel(responses=resp, loadings=loadings, num_levels=2)
+    st = model.init_state(jax.random.key(0))
+    st = jax.jit(model.kernel())(jax.random.key(1), st)
+    assert jnp.isfinite(st["theta"]).all()
+    assert jnp.isfinite(st["Sigma"]).all()

@@ -14,7 +14,12 @@ Config history (so cross-round numbers are comparable):
        marginal_sigma_slice (first CONVERGED bsts number, 4564).
   r03: timing switched to best-of-3 steady state (_timed_best below);
        model configs frozen at the r02 settings.
-  r04: data/chain/draw/burn counts UNCHANGED; the marginal variance
+  r04: spike_slab chains retuned 64 -> 1024 (the r01-era 64 chains
+       undersold the chip: measured 19.9k/27.2k/30.9k minESS/s at
+       64/256/1024 chains, R-hat-gated; 4096 chains trips an f32
+       pathological-init failure, R-hat 1.8, so 1024 is the ceiling —
+       per-chain draws/burn unchanged, so this is purely occupancy).
+       bsts_llt data/chain/draw/burn counts UNCHANGED; its marginal variance
        move switched from coordinate+random-direction slice (~75
        sequential T-scans per sweep — the profiled 90% of the sweep)
        to the TIM multiple-try independence sampler (marginal_move=
@@ -87,7 +92,7 @@ def bench_spike_slab():
     from boom_tpu.models.glm import SpikeSlabRegression
 
     n, p, nonzero = 2000, 50, 8
-    chains, draws, burn = 64, 200, 50
+    chains, draws, burn = 1024, 200, 50
     key = jax.random.key(20260817)
     k_sim, k_run = jax.random.split(key)
     x, y, _ = SpikeSlabRegression.simulate(k_sim, n, p, nonzero, sigma=1.0)

@@ -40,6 +40,8 @@ from boom_tpu.models.point_process import (
     WeeklyCyclePoissonProcess,
 )
 from boom_tpu.models.scalar_zoo import (
+    ExponentialIncrement,
+    GaussianGivenSigma,
     Lognormal,
     MatrixNormal,
     Mvt,

@@ -395,3 +395,86 @@ class MatrixNormal:
     def simulate(key, n, mean, row_cov, col_cov):
         return dists.matrix_normal.sample(key, mean, row_cov, col_cov,
                                           shape=(n,))
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianGivenSigma:
+    """N(mu0, sigma^2 / kappa) with sigma^2 owned elsewhere — the
+    conjugate prior for a Gaussian mean conditional on its variance
+    (reference Models/GaussianModelGivenSigma.hpp:36: mu0 + kappa
+    'sample size' scaling an external sigma^2). Functional form: pass
+    the current sigma^2 in; the conjugate update of (mu0, kappa) given
+    draws of the child mean is a Gaussian-suf weighted average."""
+
+    mean: float = 0.0
+    sample_size: float = 1.0  # kappa
+
+    def variance(self, sigsq):
+        return sigsq / self.sample_size
+
+    def logpdf(self, x, sigsq):
+        v = self.variance(sigsq)
+        return -0.5 * (jnp.log(2.0 * jnp.pi * v)
+                       + (x - self.mean) ** 2 / v)
+
+    def sample(self, key, sigsq, shape=None):
+        v = self.variance(sigsq)
+        shp = shape if shape is not None else jnp.shape(
+            jnp.asarray(sigsq))
+        return self.mean + jnp.sqrt(v) * jax.random.normal(
+            key, shp, jnp.result_type(float))
+
+    def posterior_mean_draw(self, key, suf_n, suf_sum, sigsq):
+        """Conjugate draw of the child mean mu | data, sigma^2 with
+        THIS model as its prior: the standard N(mu0, sigsq/kappa) x
+        N-likelihood update."""
+        prec = (self.sample_size + suf_n) / sigsq
+        mean = (self.sample_size * self.mean + suf_sum) / (
+            self.sample_size + suf_n)
+        return mean + jax.random.normal(
+            key, jnp.shape(mean), jnp.result_type(float)) / jnp.sqrt(
+                prec)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExponentialIncrement:
+    """A vector of increasing values: x_1 ~ Exp(lambda_1), increments
+    x_i - x_{i-1} ~ Exp(lambda_i) independently (reference
+    Models/ExponentialIncrementModel.hpp:36). Gibbs: each rate gets a
+    conjugate Gamma(a, b) update from its observed increments."""
+
+    x: jax.Array  # [n, d] increasing rows
+    prior_shape: float = 1.0
+    prior_rate: float = 1.0
+
+    @property
+    def _increments(self):
+        return jnp.diff(self.x, axis=-1, prepend=0.0)  # [n, d]
+
+    def loglik(self, rates):
+        inc = self._increments
+        return jnp.sum(jnp.log(rates)[None, :] * 1.0
+                       - rates[None, :] * inc)
+
+    def init_state(self, key):
+        inc_mean = jnp.maximum(jnp.mean(self._increments, axis=0), 1e-8)
+        return {"rates": 1.0 / inc_mean}
+
+    def kernel(self):
+        inc_sum = jnp.sum(self._increments, axis=0)
+        n = self.x.shape[0]
+        d = self.x.shape[1]
+
+        def sweep(key, state):
+            rates = dists.gamma.sample(
+                key, self.prior_shape + n,
+                self.prior_rate + inc_sum)
+            return {"rates": rates}
+
+        return sweep
+
+    def simulate(self, key, n, rates):
+        rates = jnp.asarray(rates)
+        inc = dists.exponential.sample(
+            key, rates[None, :], shape=(n, rates.shape[0]))
+        return jnp.cumsum(inc, axis=-1)

@@ -127,3 +127,45 @@ def test_matrix_normal_flip_flop():
                                  fit["col_cov"]))
     ll_id = float(model.loglike(fit["mean"], jnp.eye(2), jnp.eye(3)))
     assert ll_fit > ll_id
+
+
+def test_gaussian_given_sigma():
+    from boom_tpu.models.scalar_zoo import GaussianGivenSigma
+
+    prior = GaussianGivenSigma(mean=2.0, sample_size=5.0)
+    sigsq = jnp.asarray(4.0)
+    assert abs(float(prior.variance(sigsq)) - 0.8) < 1e-9
+    # conjugate mean draw concentrates at the weighted average
+    draws = jax.vmap(
+        lambda k: prior.posterior_mean_draw(
+            k, suf_n=100.0, suf_sum=100.0 * 3.0, sigsq=sigsq))(
+        jax.random.split(jax.random.key(0), 4000))
+    want = (5.0 * 2.0 + 300.0) / 105.0
+    assert abs(float(draws.mean()) - want) < 0.02
+    sd_want = float(jnp.sqrt(sigsq / 105.0))
+    assert abs(float(draws.std()) - sd_want) < 0.02
+    # density normalizes against scipy
+    from scipy.stats import norm
+
+    x = 1.3
+    assert abs(float(prior.logpdf(x, sigsq))
+               - norm.logpdf(x, 2.0, np.sqrt(0.8))) < 1e-6
+
+
+def test_exponential_increment():
+    from boom_tpu.models.scalar_zoo import ExponentialIncrement
+
+    rates = jnp.asarray([2.0, 0.5, 5.0])
+    m0 = ExponentialIncrement(x=jnp.zeros((1, 3)))
+    x = m0.simulate(jax.random.key(0), 3000, rates)
+    assert bool(jnp.all(jnp.diff(x, axis=-1) >= 0))
+    model = ExponentialIncrement(x=x)
+    kern = jax.jit(model.kernel())
+    st = model.init_state(jax.random.key(1))
+    draws = []
+    for i in range(200):
+        st = kern(jax.random.fold_in(jax.random.key(2), i), st)
+        if i >= 50:
+            draws.append(np.asarray(st["rates"]))
+    mean = np.stack(draws).mean(0)
+    assert np.abs(mean / np.asarray(rates) - 1.0).max() < 0.1, mean

@@ -16,9 +16,12 @@ Config history (so cross-round numbers are comparable):
        model configs frozen at the r02 settings.
   r04: spike_slab chains retuned 64 -> 1024 (the r01-era 64 chains
        undersold the chip: measured 19.9k/27.2k/30.9k minESS/s at
-       64/256/1024 chains, R-hat-gated; 4096 chains trips an f32
-       pathological-init failure, R-hat 1.8, so 1024 is the ceiling —
-       per-chain draws/burn unchanged, so this is purely occupancy).
+       64/256/1024 chains, R-hat-gated; 4096 chains shows R-hat 1.8 —
+       diagnosed as slow BETWEEN-MODE mixing, not numerics: zero
+       stuck/NaN chains, but a few percent sit in a high-sigsq
+       null-model basin that one-flip-at-a-time SSVS exits slowly,
+       and 4096 is past the throughput knee anyway — so 1024;
+       per-chain draws/burn unchanged, purely occupancy).
        bsts_llt data/chain/draw/burn counts UNCHANGED; its marginal variance
        move switched from coordinate+random-direction slice (~75
        sequential T-scans per sweep — the profiled 90% of the sweep)

@@ -593,6 +593,109 @@ class BstsModel(SavableFit):
 
 
 @dataclasses.dataclass
+@dataclasses.dataclass
+class MbstsModel(SavableFit):
+    """mbsts front end — the R mbsts() surface (bsts/R/mbsts.R:86, plot
+    dispatch mbsts.plots.R:17, predict.mbsts.R) over the
+    MultivariateBsts engine. fit() takes wide-format data y [T, K];
+    shared factors + optional shared/series blocks, per-series
+    spike-slab regression, student errors via the engine kwargs."""
+
+    num_factors: int = 1
+    _model: Any = None
+    _result: McmcResult | None = None
+
+    def fit(self, y, predictors=None, niter=500, num_chains=2,
+            burn=300, seed=0, **model_kw):
+        from boom_tpu.statespace.multivariate import MultivariateBsts
+
+        y = jnp.asarray(y)
+        if predictors is not None:
+            predictors = jnp.asarray(predictors)
+        self._model = MultivariateBsts(
+            y=y, num_factors=self.num_factors, predictors=predictors,
+            **model_kw)
+        self._result = run_mcmc(
+            jax.random.key(seed), self._model.kernel(),
+            self._model.init_state, num_draws=niter,
+            num_chains=num_chains, burn=burn,
+            extract=lambda s: s)
+        return self
+
+    @property
+    def draws(self):
+        return self._result.draws
+
+    def _subsampled_states(self, burn=0, max_draws=50):
+        flat = self._result.stacked()
+        if burn:
+            chains = jax.tree_util.tree_leaves(
+                self._result.draws)[0].shape[0]
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape((chains, -1) + a.shape[1:])
+                [:, burn:].reshape((-1,) + a.shape[1:]), flat)
+        total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+        take = min(max_draws, total)
+        idx = jnp.linspace(0, total - 1, take).astype(jnp.int32)
+        return jax.tree_util.tree_map(lambda a: a[idx], flat)
+
+    def series_mean_draws(self, burn=0, max_draws=50):
+        """[draws, T, K] conditional means: shared + series-specific
+        state + regression contributions (PlotMbstsSeriesMeans'
+        quantity, mbsts.plots.R:35)."""
+        states = self._subsampled_states(burn, max_draws)
+
+        def one(st):
+            return (self._model.shared_contrib(st)
+                    + self._model.series_contrib(st)
+                    + self._model._reg_contrib(st))
+
+        return jax.jit(jax.vmap(one))(states)
+
+    def plot(self, kind="means", series=None, burn=0, **kw):
+        """plot.mbsts dispatch (mbsts.plots.R:17): 'means' = per-series
+        conditional-mean fans with the actuals overlaid."""
+        from boom_tpu import rplots
+
+        if kind != "means":
+            raise ValueError(f"unknown plot kind {kind!r}")
+        means = np.asarray(self.series_mean_draws(burn=burn))
+        y = np.asarray(self._model.y)
+        k_dim = y.shape[1]
+        ids = range(k_dim) if series is None else series
+        curves = [means[:, :, k] for k in ids]
+        fig, axes = rplots.compare_dynamic_distributions(
+            curves, names=[f"series {k}" for k in ids], **kw)
+        for ax_row, k in zip(axes.ravel(), ids):
+            ax_row.plot(np.arange(y.shape[0]), y[:, k], ".",
+                        color="k", markersize=2)
+        return fig, axes
+
+    def predict(self, horizon, seed=0, future_predictors=None,
+                max_draws=50, burn=0):
+        """Posterior-predictive forecasts [draws, horizon, K]
+        (predict.mbsts.R semantics: simulate forward per draw)."""
+        states = self._subsampled_states(burn, max_draws)
+        take = jax.tree_util.tree_leaves(states)[0].shape[0]
+        keys = jax.random.split(jax.random.key(seed), take)
+        return jax.jit(jax.vmap(
+            lambda k, st: self._model.predict(
+                k, st, horizon,
+                future_predictors=future_predictors)))(keys, states)
+
+    def summary(self):
+        sig = np.sqrt(np.asarray(self.draws["sigsq_obs"]))
+        sig = sig.reshape(-1, sig.shape[-1])
+        out = {"observation_sd": {
+            "mean": sig.mean(0).tolist(),
+            "q025": np.quantile(sig, 0.025, axis=0).tolist(),
+            "q975": np.quantile(sig, 0.975, axis=0).tolist()}}
+        lod = np.asarray(self.draws["loadings"])
+        out["loadings_mean"] = lod.reshape(
+            (-1,) + lod.shape[-2:]).mean(0).tolist()
+        return out
+
+
 class DirmModel(SavableFit):
     """dirm front end (reference Interfaces/R/bsts/R/dirm.R): dynamic
     intercept regression over multiplexed observations.

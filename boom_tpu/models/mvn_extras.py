@@ -320,3 +320,189 @@ class CompositeMixture:
         if lam is not None:
             out["counts"] = jax.random.poisson(keys[3], lam[z])
         return out
+
+
+# ---------------------------------------------------------------------------
+# Remaining root-model micro-variants of the Gaussian/MVN family.
+# Reference: Models/ZeroMeanGaussianModel.hpp (variance-only Gaussian),
+# ZeroMeanMvnModel.hpp (covariance-only MVN), IndependentMvnModel.hpp
+# (diagonal MVN, per-coordinate conjugate draws),
+# IndependentMvnModelGivenScalarSigma.hpp (diagonal MVN whose variances
+# are sigma^2 * v_i with an externally owned sigma^2),
+# MvnGivenSigma.hpp (the conjugate N(mu0, Sigma/kappa) prior for an MVN
+# mean given its covariance), ProductVectorModel.hpp (independent
+# scalar models glued into one vector model).
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class ZeroMeanGaussian:
+    """y ~ N(0, sigma^2) — variance is the only parameter (reference
+    ZeroMeanGaussianModel.hpp). Conjugate scaled-inv-chisq Gibbs."""
+
+    y: jax.Array
+    sigma_df: float = 1.0
+    sigma_guess: float = 1.0
+
+    def init_state(self, key):
+        return {"sigsq": jnp.var(self.y) + 1e-12}
+
+    def kernel(self):
+        n = self.y.shape[0]
+        ss = jnp.sum(self.y * self.y)
+
+        def sweep(key, state):
+            df = self.sigma_df + n
+            s = (self.sigma_df * self.sigma_guess**2 + ss) / df
+            return {"sigsq": dists.scaled_inv_chisq.sample(key, df, s)}
+
+        return sweep
+
+    def loglik(self, sigsq):
+        n = self.y.shape[0]
+        return -0.5 * (n * jnp.log(2.0 * jnp.pi * sigsq)
+                       + jnp.sum(self.y * self.y) / sigsq)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZeroMeanMvn:
+    """y ~ MVN(0, Sigma) — covariance-only MVN (reference
+    ZeroMeanMvnModel.hpp). Conjugate inverse-Wishart Gibbs."""
+
+    y: jax.Array  # [n, p]
+    prior_df: float | None = None  # default p + 2
+
+    def init_state(self, key):
+        p = self.y.shape[1]
+        cov = jnp.cov(self.y.T) + 1e-9 * jnp.eye(p)
+        return {"Sigma": 0.5 * (cov + cov.T)}
+
+    def kernel(self):
+        n, p = self.y.shape
+        scatter = self.y.T @ self.y
+        df0 = self.prior_df if self.prior_df is not None else p + 2.0
+        s0 = jnp.eye(p) * df0
+
+        def sweep(key, state):
+            ss = s0 + scatter
+            siginv = mv.wishart.sample(
+                key, df0 + n, jnp.linalg.inv(0.5 * (ss + ss.T)))
+            sigma = jnp.linalg.inv(siginv)
+            return {"Sigma": 0.5 * (sigma + sigma.T)}
+
+        return sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class IndependentMvn:
+    """MVN with diagonal covariance: p independent Gaussian coordinates
+    sharing one model object (reference IndependentMvnModel.hpp).
+    Conjugate normal/scaled-inv-chisq draws, ALL coordinates batched."""
+
+    y: jax.Array  # [n, p]
+    mean_guess: float = 0.0
+    mean_nobs: float = 1e-3
+    sigma_df: float = 1.0
+    sigma_guess: float = 1.0
+
+    def init_state(self, key):
+        return {"mu": jnp.mean(self.y, 0),
+                "sigsq": jnp.var(self.y, 0) + 1e-12}
+
+    def kernel(self):
+        n, p = self.y.shape
+        ybar = jnp.mean(self.y, 0)
+        ss_within = jnp.sum((self.y - ybar[None, :]) ** 2, 0)
+
+        def sweep(key, state):
+            km, ks = jax.random.split(key)
+            # sigsq_j | mu_j
+            dev = ss_within + n * (ybar - state["mu"]) ** 2
+            df = self.sigma_df + n
+            s = (self.sigma_df * self.sigma_guess**2 + dev) / df
+            sigsq = dists.scaled_inv_chisq.sample(ks, df, s,
+                                                  shape=(p,))
+            # mu_j | sigsq_j
+            prec = (self.mean_nobs + n) / sigsq
+            mean = (self.mean_nobs * self.mean_guess
+                    + n * ybar) / (self.mean_nobs + n)
+            mu = mean + jax.random.normal(
+                km, (p,), mean.dtype) / jnp.sqrt(prec)
+            return {"mu": mu, "sigsq": sigsq}
+
+        return sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class IndependentMvnGivenScalarSigma:
+    """Diagonal MVN whose variances are sigma^2 * v_j with sigma^2
+    owned by another model (reference
+    IndependentMvnModelGivenScalarSigma.hpp) — the vector analog of
+    GaussianGivenSigma, used as a coefficient prior."""
+
+    mean: jax.Array  # [p] mu0
+    unscaled_variance_diagonal: jax.Array  # [p] v_j
+
+    def variance(self, sigsq):
+        return sigsq * self.unscaled_variance_diagonal
+
+    def logpdf(self, x, sigsq):
+        v = self.variance(sigsq)
+        return jnp.sum(-0.5 * (jnp.log(2.0 * jnp.pi * v)
+                               + (x - self.mean) ** 2 / v), -1)
+
+    def sample(self, key, sigsq, shape=None):
+        v = self.variance(sigsq)
+        shp = (shape or ()) + self.mean.shape
+        return self.mean + jnp.sqrt(v) * jax.random.normal(
+            key, shp, jnp.result_type(float))
+
+
+@dataclasses.dataclass(frozen=True)
+class MvnGivenSigma:
+    """N(mu0, Sigma / kappa) with Sigma owned elsewhere — the conjugate
+    prior for an MVN mean given its covariance (reference
+    MvnGivenSigma.hpp). posterior_mean_draw is the standard
+    Normal-Normal update used by MvnConjSampler."""
+
+    mean: jax.Array  # [p] mu0
+    sample_size: float = 1.0  # kappa
+
+    def logpdf(self, x, sigma):
+        return mv.mvn.logpdf(x, self.mean, sigma / self.sample_size)
+
+    def sample(self, key, sigma, shape=None):
+        return mv.mvn.sample(key, self.mean,
+                             sigma / self.sample_size, shape=shape)
+
+    def posterior_mean_draw(self, key, suf_n, suf_sum, sigma):
+        """mu | data, Sigma with this prior: N(w mu0 + (1-w) ybar,
+        Sigma / (kappa + n))."""
+        denom = self.sample_size + suf_n
+        mean = (self.sample_size * self.mean + suf_sum) / denom
+        return mv.mvn.sample(key, mean, sigma / denom)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProductVector:
+    """Independent scalar families glued into one vector model
+    (reference ProductVectorModel.hpp: a vector observation whose
+    coordinates follow unrelated scalar models). Here: per-coordinate
+    (family, data-column) pairs each running their own kernel; the
+    composite kernel is their product, mirroring
+    CompositeParamPolicy."""
+
+    components: tuple  # of scalar models with init_state/kernel
+
+    def init_state(self, key):
+        keys = jax.random.split(key, len(self.components))
+        return {f"c{i}": m.init_state(k)
+                for i, (m, k) in enumerate(zip(self.components, keys))}
+
+    def kernel(self):
+        kernels = [m.kernel() for m in self.components]
+
+        def sweep(key, state):
+            keys = jax.random.split(key, len(kernels))
+            return {f"c{i}": kern(k, state[f"c{i}"])
+                    for i, (kern, k) in enumerate(zip(kernels, keys))}
+
+        return sweep

@@ -114,3 +114,100 @@ def test_composite_mixture_numeric_only_loglik_finite():
     assert np.isfinite(float(model.log_lik(st)))
     st2 = model.kernel()(jax.random.key(7), st)
     assert st2["mu"].shape == (3, 2)
+
+
+def test_zero_mean_gaussian_and_mvn():
+    from boom_tpu.models.mvn_extras import ZeroMeanGaussian, ZeroMeanMvn
+
+    key = jax.random.key(0)
+    y = 1.7 * jax.random.normal(key, (3000,))
+    m = ZeroMeanGaussian(y=y)
+    st = m.init_state(jax.random.key(1))
+    draws = []
+    kern = jax.jit(m.kernel())
+    for i in range(300):
+        st = kern(jax.random.fold_in(key, i), st)
+        if i >= 50:
+            draws.append(float(st["sigsq"]))
+    assert abs(np.sqrt(np.mean(draws)) - 1.7) < 0.1
+
+    cov = jnp.asarray([[2.0, 0.8], [0.8, 1.0]])
+    ym = jax.random.multivariate_normal(
+        jax.random.key(2), jnp.zeros(2), cov, (4000,))
+    mm = ZeroMeanMvn(y=ym)
+    stm = mm.init_state(jax.random.key(3))
+    kernm = jax.jit(mm.kernel())
+    sigs = []
+    for i in range(200):
+        stm = kernm(jax.random.fold_in(jax.random.key(4), i), stm)
+        if i >= 50:
+            sigs.append(np.asarray(stm["Sigma"]))
+    assert np.abs(np.mean(sigs, 0) - np.asarray(cov)).max() < 0.15
+
+
+def test_independent_mvn():
+    from boom_tpu.models.mvn_extras import IndependentMvn
+
+    key = jax.random.key(5)
+    mu = jnp.asarray([1.0, -2.0, 0.0])
+    sd = jnp.asarray([0.5, 2.0, 1.0])
+    y = mu + sd * jax.random.normal(key, (4000, 3))
+    m = IndependentMvn(y=y)
+    st = m.init_state(jax.random.key(6))
+    kern = jax.jit(m.kernel())
+    mus, sds = [], []
+    for i in range(200):
+        st = kern(jax.random.fold_in(jax.random.key(7), i), st)
+        if i >= 50:
+            mus.append(np.asarray(st["mu"]))
+            sds.append(np.sqrt(np.asarray(st["sigsq"])))
+    assert np.abs(np.mean(mus, 0) - np.asarray(mu)).max() < 0.1
+    assert np.abs(np.mean(sds, 0) / np.asarray(sd) - 1.0).max() < 0.1
+
+
+def test_mvn_given_sigma_and_indep_scalar_sigma():
+    from boom_tpu.models.mvn_extras import (
+        IndependentMvnGivenScalarSigma,
+        MvnGivenSigma,
+    )
+    from scipy.stats import multivariate_normal, norm
+
+    sigma = jnp.asarray([[1.5, 0.4], [0.4, 0.8]])
+    prior = MvnGivenSigma(mean=jnp.asarray([1.0, 2.0]), sample_size=4.0)
+    x = jnp.asarray([0.7, 2.2])
+    want = multivariate_normal.logpdf(
+        np.asarray(x), [1.0, 2.0], np.asarray(sigma) / 4.0)
+    assert abs(float(prior.logpdf(x, sigma)) - want) < 1e-6
+    # conjugate mean draw moments
+    draws = jax.vmap(lambda k: prior.posterior_mean_draw(
+        k, 100.0, 100.0 * jnp.asarray([0.0, 0.0]), sigma))(
+        jax.random.split(jax.random.key(8), 4000))
+    want_mean = 4.0 * np.asarray([1.0, 2.0]) / 104.0
+    assert np.abs(np.asarray(draws).mean(0) - want_mean).max() < 0.03
+
+    ip = IndependentMvnGivenScalarSigma(
+        mean=jnp.asarray([0.0, 1.0]),
+        unscaled_variance_diagonal=jnp.asarray([2.0, 0.5]))
+    got = float(ip.logpdf(jnp.asarray([0.3, 0.9]), 1.5))
+    want = (norm.logpdf(0.3, 0.0, np.sqrt(1.5 * 2.0))
+            + norm.logpdf(0.9, 1.0, np.sqrt(1.5 * 0.5)))
+    assert abs(got - want) < 1e-6
+
+
+def test_product_vector():
+    from boom_tpu.models.mvn_extras import ProductVector, ZeroMeanGaussian
+    from boom_tpu.models.scalar_zoo import Lognormal
+
+    key = jax.random.key(9)
+    y1 = 2.0 * jax.random.normal(key, (1000,))
+    y2 = jnp.exp(0.3 * jax.random.normal(jax.random.fold_in(key, 1),
+                                         (1000,)) + 0.5)
+    pv = ProductVector(components=(ZeroMeanGaussian(y=y1),
+                                   Lognormal(y=y2)))
+    st = pv.init_state(jax.random.key(10))
+    kern = jax.jit(pv.kernel())
+    for i in range(60):
+        st = kern(jax.random.fold_in(jax.random.key(11), i), st)
+    assert abs(np.sqrt(float(st["c0"]["sigsq"])) - 2.0) < 0.3
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(st["c1"]))).all()

@@ -85,3 +85,35 @@ def test_bsts_prediction_errors_holdout(bsts_fit):
         arr = np.asarray(v)
         assert arr.shape[-1] == 120
         assert np.isfinite(arr).all()
+
+
+@pytest.mark.slow
+def test_mbsts_front_end():
+    """MbstsModel: the R mbsts() user surface (mbsts.R:86) —
+    fit/summary/plot/predict/save round trip."""
+    import matplotlib.pyplot as plt
+
+    from boom_tpu.api import MbstsModel
+
+    key = jax.random.key(12)
+    k1, k2, k3 = jax.random.split(key, 3)
+    t_len, k_dim = 120, 3
+    factor = jnp.cumsum(0.4 * jax.random.normal(k1, (t_len,)))
+    load = jnp.asarray([1.0, 0.6, -0.8])
+    y = (factor[:, None] * load[None, :]
+         + 0.4 * jax.random.normal(k2, (t_len, k_dim)))
+    fit = MbstsModel(num_factors=1).fit(np.asarray(y), niter=150,
+                                        num_chains=2, burn=150)
+    s = fit.summary()
+    assert len(s["observation_sd"]["mean"]) == k_dim
+    means = np.asarray(fit.series_mean_draws(max_draws=20))
+    assert means.shape[1:] == (t_len, k_dim)
+    # conditional means track the factor signal
+    corr = np.corrcoef(means.mean(0)[:, 0], np.asarray(y)[:, 0])[0, 1]
+    assert corr > 0.9, corr
+    fig, axes = fit.plot(kind="means")
+    assert axes.size == k_dim
+    plt.close("all")
+    preds = np.asarray(fit.predict(horizon=5, max_draws=10))
+    assert preds.shape == (10, 5, k_dim)
+    assert np.isfinite(preds).all()

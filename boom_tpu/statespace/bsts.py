@@ -556,8 +556,16 @@ class Bsts:
             "sigsq_obs": jnp.var(self.y) * 0.5,
             "alpha": jnp.zeros((self.t_len, self.state_dim)),
         }
+        y_fit = self.y
+        if self.predictors is not None:
+            # tailor at the OLS fit rather than beta = 0: the proposal
+            # only needs to be near the marginal the chain will visit
+            # (acceptance is exact either way, efficiency is not)
+            x = self.predictors
+            beta_ols = jnp.linalg.lstsq(x, self.y)[0]
+            y_fit = self.y - x @ beta_ols
         _get, _set, lp_one, _ = self._marginal_helpers(
-            template, self.y, groups)
+            template, y_fit, groups)
 
         def neg(u):
             lp = lp_one(u)

@@ -11,9 +11,11 @@ TPU-native form: the forward recursion is a `lax.scan` whose body is a
 categorical draws. The reference parallelizes over *sequences* with a
 thread pool and merges sufstats (HMM2.cpp:319-339 `combine_data`); here
 multiple sequences are just a leading vmap axis and the merge is a sum —
-or a psum when sequences shard across devices. A parallel-prefix
-(associative-scan) filter for temporal parallelism lives in
-`boom_tpu.statespace` (shared with the Kalman filter).
+or a psum when sequences shard across devices. The parallel-prefix
+(associative-scan) forward filter / forward-backward for temporal
+parallelism lives in `boom_tpu.models.hmm_parallel` (the HMM analog of
+statespace.parallel_kalman; use it in the few-chains long-series
+regime).
 """
 
 from __future__ import annotations

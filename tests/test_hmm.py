@@ -105,3 +105,40 @@ def test_hmm_gibbs_recovers_truth(rng_key):
         trans[np.arange(len(trans)), order[:, 1], order[:, 1]],
     ], axis=1)
     assert testing.check_mcmc_matrix(diag, [0.92, 0.88], confidence=0.98)
+
+
+def test_parallel_forward_filter_matches_sequential():
+    """O(log T)-depth associative-scan HMM filter (hmm_parallel.py) ==
+    the sequential scan, to float tolerance, incl. smoothed marginals
+    (SURVEY §5 parallel-prefix forward-backward)."""
+    from boom_tpu.models.hmm import forward_filter, smoothed_marginals
+    from boom_tpu.models.hmm_parallel import (
+        parallel_forward_filter,
+        parallel_smoothed_marginals,
+    )
+
+    key = jax.random.key(3)
+    t_len, s = 900, 4
+    log_trans = jax.nn.log_softmax(jax.random.normal(key, (s, s)),
+                                   axis=1)
+    log_init = jax.nn.log_softmax(
+        jax.random.normal(jax.random.fold_in(key, 1), (s,)))
+    log_lik = -2.0 * jax.random.normal(
+        jax.random.fold_in(key, 2), (t_len, s)) ** 2
+    la_s, ll_s = forward_filter(log_lik, log_trans, log_init)
+    la_p, ll_p = parallel_forward_filter(log_lik, log_trans, log_init)
+    assert abs(float(ll_s - ll_p)) < 1e-8 * abs(float(ll_s))
+    assert float(jnp.max(jnp.abs(la_s - la_p))) < 1e-9
+    ps, _ = smoothed_marginals(log_lik, log_trans, log_init)
+    pp, _ = parallel_smoothed_marginals(log_lik, log_trans, log_init)
+    assert float(jnp.max(jnp.abs(ps - pp))) < 1e-9
+
+    # f32 stability at long T (the TPU regime)
+    f32 = jnp.float32
+    ll32 = jnp.asarray(log_lik, f32)
+    la_s32, lls32 = forward_filter(ll32, jnp.asarray(log_trans, f32),
+                                   jnp.asarray(log_init, f32))
+    la_p32, llp32 = parallel_forward_filter(
+        ll32, jnp.asarray(log_trans, f32), jnp.asarray(log_init, f32))
+    assert abs(float(lls32 - llp32)) < 1e-4 * abs(float(lls32))
+    assert float(jnp.max(jnp.abs(la_s32 - la_p32))) < 1e-3

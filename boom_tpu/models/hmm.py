@@ -119,6 +119,19 @@ class GaussianHmm:
     mean_nobs: float = 0.01
     sigma_df: float = 1.0
     sigma_guess: float = 1.0
+    # O(log T)-depth associative-scan forward filter (hmm_parallel.py)
+    # for the few-chains long-series regime; the sequential scan wins
+    # once a large chain vmap already fills the machine
+    parallel_filter: bool = False
+
+    def _forward(self, log_lik, log_trans, log_init):
+        if self.parallel_filter:
+            from boom_tpu.models.hmm_parallel import (
+                parallel_forward_filter,
+            )
+
+            return parallel_forward_filter(log_lik, log_trans, log_init)
+        return forward_filter(log_lik, log_trans, log_init)
 
     def init_state(self, key):
         s = self.num_states
@@ -137,9 +150,9 @@ class GaussianHmm:
             jnp.sqrt(state["sigsq"])[None, :])
 
     def log_lik(self, state):
-        _, ll = forward_filter(self.emission_loglik(state),
-                               jnp.log(state["trans"]),
-                               jnp.log(state["init"]))
+        _, ll = self._forward(self.emission_loglik(state),
+                              jnp.log(state["trans"]),
+                              jnp.log(state["init"]))
         return ll
 
     def kernel(self):
@@ -148,7 +161,7 @@ class GaussianHmm:
         def sweep(key, state):
             kz, kc, kt, ki = jax.random.split(key, 4)
             # 1. impute the hidden path (HmmPosteriorSampler::draw step 1)
-            log_alphas, _ = forward_filter(
+            log_alphas, _ = self._forward(
                 self.emission_loglik(state), jnp.log(state["trans"]),
                 jnp.log(state["init"]))
             z = backward_sample(kz, log_alphas, jnp.log(state["trans"]))

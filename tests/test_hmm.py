@@ -142,3 +142,22 @@ def test_parallel_forward_filter_matches_sequential():
         ll32, jnp.asarray(log_trans, f32), jnp.asarray(log_init, f32))
     assert abs(float(lls32 - llp32)) < 1e-4 * abs(float(lls32))
     assert float(jnp.max(jnp.abs(la_s32 - la_p32))) < 1e-3
+
+
+def test_gaussian_hmm_parallel_filter_option():
+    """GaussianHmm(parallel_filter=True) runs the same Gibbs program
+    through the associative-scan filter."""
+    from boom_tpu.models.hmm import GaussianHmm
+
+    key = jax.random.key(4)
+    z = (jnp.cumsum(jax.random.bernoulli(
+        key, 0.05, (300,)).astype(jnp.int32)) % 2)
+    y = jnp.where(z == 0, -1.5, 1.5) + 0.5 * jax.random.normal(
+        jax.random.fold_in(key, 1), (300,))
+    model = GaussianHmm(y=y, num_states=2, parallel_filter=True)
+    st = model.init_state(jax.random.key(5))
+    kern = jax.jit(model.kernel())
+    for i in range(60):
+        st = kern(jax.random.fold_in(jax.random.key(6), i), st)
+    mu = np.sort(np.asarray(st["mu"]))
+    assert abs(mu[0] + 1.5) < 0.5 and abs(mu[1] - 1.5) < 0.5, mu

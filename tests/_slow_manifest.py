@@ -10,6 +10,9 @@ smoke tier is guaranteed by tests/test_smoke.py.
 SLOW_TESTS = {
     # round 4 additions (statistical recover-truth tests)
     "tests/test_hmm.py::test_parallel_forward_filter_matches_sequential",
+    "tests/test_hmm.py::test_gaussian_hmm_parallel_filter_option",
+    "tests/test_bsts_marginal.py::test_tim_marginal_bench_scale_quantile_match",
+    "tests/test_mbsts.py::test_factor_scale_identified_and_mixing",
     "tests/test_glm_stragglers.py::test_multinomial_probit_recovers_truth",
     "tests/test_glm_stragglers.py::test_multinomial_probit_choice_probs",
     "tests/test_glm_stragglers.py::test_hierarchical_poisson_regression_recovers_mu",

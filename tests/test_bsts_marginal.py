@@ -12,6 +12,7 @@ and the posterior must cover the simulation truth."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from boom_tpu import testing
 from boom_tpu.inference import run_mcmc
@@ -105,3 +106,36 @@ def test_tim_marginal_matches_conditional_posterior():
         b = np.sqrt(np.asarray(d_tim[name]).ravel())
         assert testing.distributions_match(
             a[:: a.size // 400], b[:: b.size // 400], pvalue=1e-4), name
+
+
+@pytest.mark.slow
+def test_tim_marginal_bench_scale_quantile_match():
+    """Bench-regime evidence for the min-ESS ~= N claim: at T=500 (the
+    bench length, bench-like DGP) the TIM-refreshed variance posteriors
+    must match the r03-validated SLICE marginal variant's quantiles.
+    Guards against the independence sampler quietly sampling the wrong
+    marginal at scale. (The plain conditional sampler is NOT a valid
+    arbiter here — its near-zero variance stickiness is the pathology
+    both marginal moves exist to fix, and at T=500 its low quantiles
+    sit far below both marginal variants', which agree.)"""
+    k1, k2, k3 = jax.random.split(jax.random.key(4207), 3)
+    t_len = 500
+    slope = jnp.cumsum(0.02 * jax.random.normal(k3, (t_len,)))
+    level = jnp.cumsum(slope + 0.3 * jax.random.normal(k1, (t_len,)))
+    y = level + 0.5 * jax.random.normal(k2, (t_len,))
+    base = dict(y=y, blocks=[LocalLinearTrend.default(y)],
+                marginal_sigma_slice=True)
+    sl = Bsts(**base, marginal_move="slice",
+              marginal_slice_random_dirs=2)
+    tim = Bsts(**base, marginal_move="tim")
+    d_sl = _fit(sl, jax.random.key(21), draws=400, burn=300,
+                chains=8)
+    d_tim = _fit(tim, jax.random.key(22), draws=400, burn=300,
+                 chains=8)
+    for name in ("so", "lvl", "slp"):
+        a = np.sqrt(np.asarray(d_sl[name]).ravel())
+        b = np.sqrt(np.asarray(d_tim[name]).ravel())
+        qa = np.quantile(a, [0.1, 0.25, 0.5, 0.75, 0.9])
+        qb = np.quantile(b, [0.1, 0.25, 0.5, 0.75, 0.9])
+        scale = np.maximum(qa, 1e-12)
+        assert np.abs(qb / scale - 1.0).max() < 0.15, (name, qa, qb)

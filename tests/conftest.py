@@ -40,8 +40,20 @@ else:
 
 # Persistent compilation cache: sweep-kernel compiles dominate test wall
 # time on small hosts; cached compiles cut repeat suite runs several-fold.
+# The dir is keyed by the host's CPU feature set: XLA:CPU AOT artifacts
+# compiled on a different machine type load with a warning and then
+# SIGILL/segfault mid-suite (observed when a cache written on an
+# avx512-full host was reused on this one).
+import hashlib
+import platform
+
+_cpu_key = hashlib.sha1(
+    (platform.machine() + ":" + platform.processor() + ":"
+     + open("/proc/cpuinfo").read().split("flags")[1][:2000]
+     if os.path.exists("/proc/cpuinfo")
+     else platform.machine()).encode()).hexdigest()[:12]
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/boom_tpu_jax"))
+                  os.path.expanduser(f"~/.cache/boom_tpu_jax_{_cpu_key}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -185,8 +185,45 @@ def bench_pallas_smoother():
           file=sys.stderr)
 
 
+def bench_mbsts():
+    """Multivariate-flagship evidence line (stderr): min-ESS/s on the
+    mbsts factor/observation sds at a moderate panel (not part of the
+    headline metric — the BASELINE workloads are spike_slab and
+    bsts_llt). Uses the r04 unit-diagonal + factor-ASIS kernel."""
+    from boom_tpu.inference import effective_sample_size, run_mcmc
+    from boom_tpu.inference import diagnostics
+    from boom_tpu.statespace.multivariate import MultivariateBsts
+
+    t_len, k_dim, chains, draws, burn = 300, 8, 256, 150, 150
+    key = jax.random.key(77)
+    k1, k2, k3, k_run = jax.random.split(key, 4)
+    factor = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,)))
+    load = 0.5 + jax.random.uniform(k3, (k_dim,))
+    load = load.at[0].set(1.0)
+    y = (factor[:, None] * load[None, :]
+         + 0.5 * jax.random.normal(k2, (t_len, k_dim)))
+    model = MultivariateBsts(y=y, num_factors=1)
+
+    fit = jax.jit(lambda k: run_mcmc(
+        k, model.kernel(), model.init_state, draws, num_chains=chains,
+        burn=burn, jit=False,
+        extract=lambda s: {"fs": s["factor_sigsq"],
+                           "so": s["sigsq_obs"]}).draws)
+    d = fit(k_run)
+    jax.block_until_ready(d)
+    d, elapsed = _timed_best(fit, (jax.random.fold_in(k_run, 1),))
+    mon = jnp.concatenate([jnp.sqrt(d["fs"]), jnp.sqrt(d["so"])], -1)
+    r = float(np.max(np.asarray(
+        diagnostics.potential_scale_reduction(mon))))
+    ess = np.asarray(effective_sample_size(mon))
+    print(f"# mbsts: K={k_dim} T={t_len} {chains} chains: "
+          f"{ess.min() / elapsed:.0f} min-ESS/s (wall {elapsed:.2f}s, "
+          f"max R-hat {r:.4f})", file=sys.stderr)
+
+
 def main():
     bench_pallas_smoother()
+    bench_mbsts()
     ss_rate, ss_t, ss_ess = bench_spike_slab()
     print(f"# spike_slab: {ss_rate:.1f} min-ESS/s (wall {ss_t:.2f}s, "
           f"ess min {ss_ess.min():.0f} med {np.median(ss_ess):.0f})",

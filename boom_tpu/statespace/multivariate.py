@@ -260,6 +260,18 @@ class MultivariateBsts:
     # of 1600 on a 4-series panel; 1.0x with ASIS on)
     asis: bool = True
     asis_slice_steps: int = 4
+    # TIM marginal refreshment of the factor innovation variances (the
+    # r04 scalar-bsts innovation transferred to mbsts): a multivariate-T
+    # proposal tailored once to p(log factor_sigsq | y, rest-of-state
+    # template) scores `marginal_tim_trials` candidates per sweep in one
+    # candidate-batched MV-filter pass and exchanges via multiple-try
+    # independence MH — the recorded factor variances become near-iid
+    # draws from their (conditional-on-the-rest) marginal. Composes
+    # AFTER the ASIS pass. None disables.
+    marginal_move: str | None = "tim"
+    marginal_tim_trials: int = 8
+    marginal_tim_df: float = 3.0
+    marginal_tim_inflate: float = 1.5
     # Unit-diagonal loading identification (Lambda[j, j] = 1): pins the
     # factor SCALE, which a positive-diagonal-only constraint leaves on
     # a (sigma_factor, loading-column) ridge — measured factor-sd R-hat
@@ -279,6 +291,9 @@ class MultivariateBsts:
             object.__setattr__(
                 self, "obs_sd_prior",
                 SdPrior(sigma_guess=0.5 * sd, upper_limit=2.0 * sd))
+        if self.num_factors and self.marginal_move == "tim":
+            object.__setattr__(self, "_tim_prop",
+                               self._build_factor_tim_proposal())
         for b in self.series_blocks:
             assert not hasattr(b, "z_seq") and not getattr(
                 b, "needs_residual", False), (
@@ -696,9 +711,97 @@ class MultivariateBsts:
             if j_dim and self.asis:
                 out = self._asis_factors(
                     jax.random.fold_in(key, 313), out, w_obs)
+
+            # 10. TIM marginal refreshment of the factor variances
+            if j_dim and self.marginal_move == "tim":
+                out = self._marginal_factor_tim(
+                    jax.random.fold_in(key, 757), out)
             return out
 
         return sweep
+
+    def _factor_marginal_lp(self, state):
+        """(lp_one, lp_batch) over u = log factor_sigsq: MV-filter
+        marginal loglik (shared state integrated out; everything else
+        held at `state`) + SdPrior + log-transform Jacobian."""
+        y_eff = self._y_adj(state) - self.series_contrib(state)
+        obs = self._obs_mask()
+        prior = self.factor_sd_prior
+        df = prior.sample_size
+        ss = prior.sample_size * prior.sigma_guess**2
+
+        def lp_one(u):
+            st = dict(state)
+            st["factor_sigsq"] = jnp.exp(u)
+            ll = mv_kalman_filter(self.ssm_params(st), y_eff,
+                                  obs).loglik
+            sigsq = jnp.exp(u)
+            lp = jnp.sum(-(0.5 * df + 1.0) * u - 0.5 * ss / sigsq + u)
+            if prior.upper_limit < float("inf"):
+                lp = jnp.where(
+                    jnp.all(sigsq <= prior.upper_limit**2), lp,
+                    -jnp.inf)
+            return ll + lp
+
+        return lp_one, jax.vmap(lp_one)
+
+    def _build_factor_tim_proposal(self):
+        """Eager once per model: Newton/BFGS mode + eigen-clamped
+        Laplace covariance of p(log factor_sigsq | y) at an init-like
+        template (the scalar Bsts _build_tim_proposal recipe)."""
+        from boom_tpu import numopt
+
+        template = self.init_state(jax.random.key(0))
+        lp_one, _ = self._factor_marginal_lp(template)
+
+        def neg(u):
+            lp = lp_one(u)
+            return -jnp.where(jnp.isfinite(lp), lp, -1e30)
+
+        sd = jnp.std(self.y)
+        u0 = jnp.full((self.num_factors,),
+                      jnp.log((0.1 * sd) ** 2))
+        res = numopt.bfgs(neg, u0, max_iters=80)
+        res = numopt.newton_raphson(neg, res.x, max_iters=10)
+        mode = res.x
+        h = jax.hessian(neg)(mode)
+        h = 0.5 * (h + h.T)
+        w, v = jnp.linalg.eigh(h)
+        w = jnp.maximum(w, 1e-3 * jnp.maximum(jnp.max(w), 1.0))
+        cov = ((v / w[None, :]) @ v.T) * self.marginal_tim_inflate ** 2
+        chol = jnp.linalg.cholesky(0.5 * (cov + cov.T))
+        return (jax.device_get(mode), jax.device_get(chol))
+
+    def _marginal_factor_tim(self, key, state):
+        """Multiple-try independence MH on log factor_sigsq from the
+        tailored-T proposal — one candidate-batched MV-filter pass per
+        sweep (see scalar Bsts._marginal_sigma_tim for the validity
+        argument)."""
+        mode, chol = self._tim_prop
+        mode = jnp.asarray(mode, self.y.dtype)
+        chol = jnp.asarray(chol, self.y.dtype)
+        df = self.marginal_tim_df
+        lp_one, lp_batch = self._factor_marginal_lp(state)
+        u_cur = jnp.log(state["factor_sigsq"])
+        k1, k2, k3 = jax.random.split(key, 3)
+        k_tr = self.marginal_tim_trials
+        cands = dists.mvt.sample(k1, mode, None, df, chol=chol,
+                                 shape=(k_tr,))
+        pts = jnp.concatenate([cands, u_cur[None, :]], axis=0)
+        lps = lp_batch(pts)
+        lqs = dists.mvt.logpdf(pts, mode, None, df, chol=chol)
+        w = lps - lqs
+        j = jax.random.categorical(k2, w[:k_tr])
+        sum_y = jax.scipy.special.logsumexp(w[:k_tr])
+        sum_x = jax.scipy.special.logsumexp(
+            w[:k_tr].at[j].set(w[k_tr]))
+        accept = jnp.log(jax.random.uniform(
+            k3, (), u_cur.dtype,
+            minval=jnp.finfo(u_cur.dtype).tiny)) < sum_y - sum_x
+        out = dict(state)
+        out["factor_sigsq"] = jnp.exp(
+            jnp.where(accept, pts[j], u_cur))
+        return out
 
     def _asis_factors(self, key, state, w_obs):
         """Non-centered (ancillary) redraw of the factor innovation

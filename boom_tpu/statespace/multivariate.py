@@ -761,8 +761,11 @@ class MultivariateBsts:
         sd = jnp.std(self.y)
         u0 = jnp.full((self.num_factors,),
                       jnp.log((0.1 * sd) ** 2))
-        res = numopt.bfgs(neg, u0, max_iters=80)
-        res = numopt.newton_raphson(neg, res.x, max_iters=10)
+        # modest budgets: J is 1-3 dimensional and the t tails +
+        # exact acceptance forgive an imperfect mode; the build runs
+        # EAGERLY at model construction, so iterations are dispatches
+        res = numopt.bfgs(neg, u0, max_iters=40)
+        res = numopt.newton_raphson(neg, res.x, max_iters=6)
         mode = res.x
         h = jax.hessian(neg)(mode)
         h = 0.5 * (h + h.T)

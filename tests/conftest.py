@@ -38,29 +38,15 @@ if os.environ.get("BOOM_TPU_F32_TIER", "") == "1":
 else:
     jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: sweep-kernel compiles dominate test wall
-# time on small hosts; cached compiles cut repeat suite runs several-fold.
-# The dir is keyed by the host's CPU feature set: XLA:CPU AOT artifacts
-# compiled on a different machine type load with a warning and then
-# SIGILL/segfault mid-suite (observed when a cache written on an
-# avx512-full host was reused on this one).
-import hashlib
-import platform
-
-_cpu_key = hashlib.sha1(
-    (platform.machine() + ":" + platform.processor() + ":"
-     + open("/proc/cpuinfo").read().split("flags")[1][:2000]
-     if os.path.exists("/proc/cpuinfo")
-     else platform.machine()).encode()).hexdigest()[:12]
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser(f"~/.cache/boom_tpu_jax_{_cpu_key}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-assert jax.devices()[0].platform == "cpu", jax.devices()
-assert jax.device_count() >= 8, jax.devices()
-
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+# Persistent compilation cache: DISABLED. This environment's XLA writes
+# CPU AOT artifacts with tuning flags (+prefer-no-gather/scatter) that
+# the loader reports as unsupported host features on EVERY load — each
+# cache hit logs a machine-type-mismatch warning and two full-suite
+# runs segfaulted (SIGILL in AOT-loaded kernels: test_hmm, then
+# test_glm_extras after a fresh host-keyed cache). Compiles are slower
+# without it; correctness wins. Re-enable only if the loader mismatch
+# is fixed upstream:
+#   jax.config.update("jax_compilation_cache_dir", <host-keyed dir>)
 
 from _slow_manifest import SLOW_TESTS  # noqa: E402
 

@@ -36,17 +36,42 @@ Config history (so cross-round numbers are comparable):
        the posterior matches the plain conditional sampler's in
        distribution. Also r04: fused simulate+filter smoother scan,
        loglik-only filter path, stacked ASIS scans.
+  r05: headline workloads now run FIRST and the optional evidence
+       lines (pallas, mbsts) run in isolated subprocesses — the r04
+       artifact was lost to an mbsts device fault poisoning the shared
+       process. bsts_llt monitored set WIDENED from the 3 TIM-refreshed
+       variances to also include two state functionals (sampled level
+       at T/2, one-step-ahead forecast mean = level+slope at T) so the
+       R-hat gate and min-ESS keep bite on state-path mixing; the
+       headline is measured against this wider, honest monitor.
+       Program sizes consult KNOWN_BACKEND_EDGES.json.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_EDGES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "KNOWN_BACKEND_EDGES.json")
+
+
+def _known_edges():
+    """Machine-readable taxonomy of tunneled-backend fault classes
+    (VERDICT r4 item 10). bench.py sizes its programs from the
+    `safe_sizes` section; a fresh fault adds an `edges` entry."""
+    try:
+        with open(_EDGES_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {"edges": [], "safe_sizes": {}}
 
 
 def _timed_best(fn, args, reps=3):
@@ -134,18 +159,28 @@ def bench_bsts_llt():
     model = Bsts(y=y, blocks=[LocalLinearTrend.default(y)],
                  marginal_sigma_slice=True, marginal_move="tim")
 
+    # Monitored set (r05, VERDICT r4 item 3): the three variances PLUS
+    # two state functionals the TIM move does NOT directly refresh —
+    # the sampled level at T/2 and the one-step-ahead forecast mean
+    # (level + slope at T). These come from the simulation smoother's
+    # exact conditional draw given the variances, so they keep the
+    # R-hat gate and the min-ESS headline sensitive to state-path
+    # mixing, not only to the TIM-refreshed scalars.
     fit = jax.jit(lambda k: run_mcmc(
         k, model.kernel(), model.init_state, draws, num_chains=chains,
         burn=burn, jit=False,
         extract=lambda s: {
             "so": s["sigsq_obs"],
             "lvl": s["blocks"]["trend"]["sigma_level_sq"],
-            "slp": s["blocks"]["trend"]["sigma_slope_sq"]}).draws)
+            "slp": s["blocks"]["trend"]["sigma_slope_sq"],
+            "mid": s["alpha"][t_len // 2, 0],
+            "fcast": s["alpha"][-1, 0] + s["alpha"][-1, 1]}).draws)
     d = fit(k_run)
     jax.block_until_ready(d)
     d, elapsed = _timed_best(fit, (jax.random.fold_in(k_run, 1),))
     monitored = jnp.stack(
-        [d["so"], jnp.sqrt(d["lvl"]), jnp.sqrt(d["slp"])], axis=-1)
+        [d["so"], jnp.sqrt(d["lvl"]), jnp.sqrt(d["slp"]),
+         d["mid"], d["fcast"]], axis=-1)
     _check_rhat(monitored, "bsts_llt")
     ess = np.asarray(effective_sample_size(monitored))
     return float(np.min(ess)) / elapsed, elapsed, ess
@@ -194,7 +229,15 @@ def bench_mbsts():
     from boom_tpu.inference import diagnostics
     from boom_tpu.statespace.multivariate import MultivariateBsts
 
-    t_len, k_dim, chains, draws, burn = 300, 8, 256, 150, 150
+    # Sizes come from KNOWN_BACKEND_EDGES.json: the r4 config
+    # (K=8 T=300 chains=256) faults the tunneled device and the fault
+    # poisons the whole process (VERDICT r4 weak #1) — which is why
+    # this function now only ever runs in a --evidence subprocess.
+    sz = _known_edges().get("safe_sizes", {}).get("bench_mbsts", {})
+    t_len = int(os.environ.get("BOOM_MBSTS_T", sz.get("t_len", 300)))
+    k_dim = int(os.environ.get("BOOM_MBSTS_K", sz.get("k_dim", 8)))
+    chains = int(os.environ.get("BOOM_MBSTS_CHAINS", sz.get("chains", 256)))
+    draws, burn = 150, 150
     key = jax.random.key(77)
     k1, k2, k3, k_run = jax.random.split(key, 4)
     factor = jnp.cumsum(0.3 * jax.random.normal(k1, (t_len,)))
@@ -221,9 +264,36 @@ def bench_mbsts():
           f"max R-hat {r:.4f})", file=sys.stderr)
 
 
+_EVIDENCE = {"pallas": bench_pallas_smoother, "mbsts": bench_mbsts}
+
+
+def _run_evidence_subprocess(name, timeout_s=600):
+    """Run one optional evidence line in a CHILD process. Round-4
+    lesson (VERDICT r4 weak #1): a device fault on the tunneled
+    backend wedges the JAX client for the rest of the process, so any
+    evidence program sharing the headline's process can destroy the
+    round's one mandatory artifact. A child that faults or hangs just
+    prints a skipped-with-reason note here."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--evidence", name],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"# {name}: SKIPPED (evidence subprocess exceeded "
+              f"{timeout_s}s)", file=sys.stderr)
+        return
+    for line in proc.stderr.splitlines():
+        if line.startswith("#"):
+            print(line, file=sys.stderr)
+    if proc.returncode != 0:
+        tail = proc.stderr.strip().splitlines()[-1:] or ["(no output)"]
+        print(f"# {name}: SKIPPED (evidence subprocess rc="
+              f"{proc.returncode}: {tail[0][:160]})", file=sys.stderr)
+
+
 def main():
-    bench_pallas_smoother()
-    bench_mbsts()
+    # Headline workloads FIRST, in this process — nothing optional runs
+    # before them (VERDICT r4 item 1).
     ss_rate, ss_t, ss_ess = bench_spike_slab()
     print(f"# spike_slab: {ss_rate:.1f} min-ESS/s (wall {ss_t:.2f}s, "
           f"ess min {ss_ess.min():.0f} med {np.median(ss_ess):.0f})",
@@ -239,8 +309,17 @@ def main():
         "value": round(value, 2),
         "unit": "effective samples/sec/chip",
         "vs_baseline": round(value / 1000.0, 4),
-    }))
+    }), flush=True)
+
+    # Optional evidence lines AFTER the headline, each isolated in a
+    # subprocess; failures cannot touch the JSON line already printed.
+    if os.environ.get("BOOM_BENCH_SKIP_EVIDENCE", "") != "1":
+        for name in ("pallas", "mbsts"):
+            _run_evidence_subprocess(name)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--evidence":
+        _EVIDENCE[sys.argv[2]]()
+    else:
+        main()

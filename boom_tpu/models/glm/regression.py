@@ -191,6 +191,55 @@ def draw_indicators_sweep(key, suf: RegSuf, prior: SpikeSlabPrior, mask,
     return mask
 
 
+def screening_proposal_probs(suf: RegSuf, prior: SpikeSlabPrior,
+                             lo=0.02, hi=0.98):
+    """Product-Bernoulli inclusion probabilities fitted at the marginal
+    screening statistics (the BigAss screen's per-variable evidence):
+    z_j^2 = the marginal regression t^2 of x_j on y, mapped through
+    sigmoid((z_j^2 - 2 log p) / 2) — a Bonferroni-style evidence
+    threshold — and clipped to [lo, hi] so the proposal has full
+    support. Strong predictors get pi ~= hi, noise gets pi ~= lo, so a
+    proposed model concentrates near the high-evidence mode while
+    remaining a valid independence proposal everywhere."""
+    p = suf.xty.shape[-1]
+    s2 = suf.yty / jnp.maximum(suf.n, 1.0)
+    z2 = suf.xty ** 2 / (jnp.diagonal(suf.xtx, axis1=-2, axis2=-1)
+                         * s2 + 1e-30)
+    raw = jax.nn.sigmoid(0.5 * (z2 - 2.0 * jnp.log(float(p))))
+    return jnp.clip(raw, lo, hi)
+
+
+def mode_jump_move(key, suf: RegSuf, prior: SpikeSlabPrior, mask, qprobs):
+    """Independence Metropolis-Hastings on the whole inclusion vector:
+    propose g' ~ prod_j Bernoulli(qprobs_j), accept with the exact
+    collapsed posterior odds (beta and sigma^2 integrated out via
+    log_model_prob, so the move is exact for the same target as the
+    one-flip sweep). This is the between-MODE move the one-flip-at-a-
+    time sweep lacks: a chain stuck in the high-sigsq null-model basin
+    (the 4096-chain pathology diagnosed in PERF.md section 3) exits in
+    one accepted jump instead of an exponentially unlikely sequence of
+    single flips. TPU analog of the reference's adaptive birth/death
+    escape machinery (Models/Glm/PosteriorSamplers/
+    AdaptiveSpikeSlabRegressionSampler.hpp:39), recast as a single
+    batched independence proposal so it vmaps over chains."""
+    k_prop, k_acc = jax.random.split(key)
+    p = mask.shape[-1]
+    prop = jax.random.uniform(k_prop, (p,), qprobs.dtype) < qprobs
+    logq = jnp.log(qprobs)
+    log1mq = jnp.log1p(-qprobs)
+
+    def lq(m):
+        mf = jnp.asarray(m, qprobs.dtype)
+        return jnp.sum(mf * logq + (1.0 - mf) * log1mq, -1)
+
+    log_ratio = (log_model_prob(suf, prior, prop)
+                 - log_model_prob(suf, prior, mask)
+                 + lq(mask) - lq(prop))
+    take = jnp.log(jax.random.uniform(k_acc, (), log_ratio.dtype)) \
+        < log_ratio
+    return jnp.where(take, prop, mask)
+
+
 def draw_sigsq(key, suf: RegSuf, prior: SpikeSlabPrior, mask):
     """sigma^2 | g, y (beta integrated out) — reference draw_sigma
     (BregVsSampler.cpp:313): scaled inverse chi^2 with DF_, SS_."""
@@ -227,13 +276,19 @@ class SpikeSlabRegression:
     # "cholesky": masked-Cholesky recompute, O(p^3)/flip (reference
     # BregVsSampler's strategy; kept as the numerical oracle).
     method: str = "sweep"
+    # Exact independence-MH between-mode move on gamma, run once per
+    # sweep before the flip scan (see mode_jump_move). Costs two extra
+    # masked-Cholesky log_model_prob evaluations (~2 flips' worth);
+    # rescues chains stuck in the null-model basin at high chain counts.
+    mode_jump: bool = True
 
     @staticmethod
-    def from_data(x, y, method="sweep", max_flips=None, **prior_kwargs):
+    def from_data(x, y, method="sweep", max_flips=None, mode_jump=True,
+                  **prior_kwargs):
         return SpikeSlabRegression(
             suf=RegSuf.from_data(x, y),
             prior=SpikeSlabPrior.from_data(x, y, **prior_kwargs),
-            max_flips=max_flips, method=method)
+            max_flips=max_flips, method=method, mode_jump=mode_jump)
 
     def init_state(self, key):
         p = self.prior.mean.shape[0]
@@ -260,10 +315,17 @@ class SpikeSlabRegression:
         else:
             draw_ind = draw_indicators_sweep
 
+        qprobs = (screening_proposal_probs(self.suf, self.prior)
+                  if self.mode_jump else None)
+
         def sweep(key, state):
-            k1, k2, k3 = jax.random.split(key, 3)
+            k0, k1, k2, k3 = jax.random.split(key, 4)
+            gamma = state["gamma"]
+            if self.mode_jump:
+                gamma = mode_jump_move(k0, self.suf, self.prior, gamma,
+                                       qprobs)
             gamma = draw_ind(
-                k1, self.suf, self.prior, state["gamma"], self.max_flips)
+                k1, self.suf, self.prior, gamma, self.max_flips)
             sigsq = draw_sigsq(k2, self.suf, self.prior, gamma)
             beta = draw_beta(k3, self.suf, self.prior, gamma, sigsq)
             return {"gamma": gamma, "beta": beta, "sigsq": sigsq}

@@ -8,6 +8,9 @@ smoke tier is guaranteed by tests/test_smoke.py.
 """
 
 SLOW_TESTS = {
+    # round 5 additions (unmasked by the conftest numpy-import fix)
+    "tests/test_hierarchical_extras.py::test_hierarchical_zero_inflated_gamma",  # 24.9s
+    "tests/test_glm_extras.py::test_aggregated_regression_log",  # 19.9s
     # round 4 additions (statistical recover-truth tests)
     "tests/test_hmm.py::test_parallel_forward_filter_matches_sequential",
     "tests/test_hmm.py::test_gaussian_hmm_parallel_filter_option",

@@ -48,6 +48,7 @@ else:
 # is fixed upstream:
 #   jax.config.update("jax_compilation_cache_dir", <host-keyed dir>)
 
+import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from _slow_manifest import SLOW_TESTS  # noqa: E402

@@ -118,6 +118,54 @@ def _run_single(model, cfg, chains, key):
     return _timed(fit, jax.random.fold_in(key, 1))
 
 
+def run_multihost(nprocs, out):
+    """Spawn `nprocs` REAL processes that join one jax.distributed job
+    (pseudo-multihost on this machine; the identical code path a pod
+    slice runs — jax.distributed.initialize, global mesh, cross-process
+    sharded chain axis, gloo/ICI collectives). Writes a structural
+    artifact; on a real >= 2-host slice run the worker once per host
+    with the coordinator's address instead of localhost."""
+    import os
+    import socket
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(repo, "boom_tpu", "parallel",
+                          "_multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    outs = [os.path.join(repo, f".mh_out{i}.json") for i in range(nprocs)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "--pid", str(i), "--nprocs", str(nprocs),
+         "--port", str(port), "--local-devices", "2",
+         "--chains", "64", "--draws", "100", "--burn", "50",
+         "--out", outs[i]],
+        env=env, cwd=repo) for i in range(nprocs)]
+    rcs = [p.wait(timeout=900) for p in procs]
+    assert all(rc == 0 for rc in rcs), rcs
+    summaries = [json.load(open(o)) for o in outs]
+    for o in outs:
+        os.remove(o)
+    results = {"mode": "multihost", "num_processes": nprocs,
+               "global_devices": summaries[0]["global_devices"],
+               "wall_s": summaries[0]["wall_s"],
+               "samples_per_sec": summaries[0]["samples_per_sec"],
+               "consistent": all(
+                   s["sigsq_mean"] == summaries[0]["sigsq_mean"]
+                   for s in summaries)}
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({
+        "metric": "multihost_samples_per_sec",
+        "value": results["samples_per_sec"],
+        "unit": "samples/sec",
+        "vs_baseline": 1.0 if results["consistent"] else 0.0}))
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", default=None,
@@ -127,8 +175,15 @@ def main(argv=None):
     ap.add_argument("--workloads", default="spike_slab,bsts_llt")
     ap.add_argument("--mode", choices=["auto", "weak", "overhead"],
                     default="auto")
+    ap.add_argument("--multihost", type=int, default=0, metavar="NPROCS",
+                    help="spawn NPROCS distributed processes (2 local "
+                         "CPU devices each) and run the chain-sharded "
+                         "program over the global mesh")
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        return run_multihost(args.multihost, args.out)
 
     import jax
 

@@ -343,6 +343,15 @@ class BstsModel(SavableFit):
                                  hierarchical=hierarchical)))
         return self
 
+    def add_monthly_annual_cycle(self, first_date, **kw):
+        """12-season monthly cycle for daily data, rotating on the first
+        of each month (reference AddMonthlyAnnualCycle,
+        add.monthly.annual.cycle.R; SeasonalStateModel.hpp:134).
+        first_date: datetime.date of y[0]."""
+        self._specs.append(
+            ("monthly_annual_cycle", dict(kw, first_date=first_date)))
+        return self
+
     def add_general_seasonal_llt(self, nseasons, **kw):
         self._specs.append(
             ("general_seasonal_llt", dict(kw, nseasons=nseasons)))
@@ -392,6 +401,8 @@ class BstsModel(SavableFit):
                                     "hierarchical")})),
             "general_seasonal_llt":
                 lambda kw: sm.GeneralSeasonalLLT.default(y, **kw),
+            "monthly_annual_cycle":
+                lambda kw: sm.MonthlyAnnualCycle.default(y, **kw),
             "dynamic_regression_ar":
                 lambda kw: sm.DynamicRegressionAr.default(y, **kw),
         }
@@ -399,10 +410,44 @@ class BstsModel(SavableFit):
 
     def fit(self, y, predictors=None, family="gaussian",
             expected_model_size=1.0, niter=1000, num_chains=4, burn=200,
-            seed=0, **model_kw):
+            seed=0, timestamps=None, **model_kw):
+        """timestamps: optional per-observation timestamps (numeric,
+        numpy datetime64, or python dates). Irregular series are
+        regularized exactly as the reference's bsts() does
+        (format.timestamps.R RegularizeTimestamps): gaps become missing
+        grid points and duplicate timestamps multiplex onto one grid
+        point (utils.timestamps). Gaussian family only."""
         from boom_tpu.models.glm.regression import SpikeSlabPrior
         from boom_tpu.statespace import Bsts
         from boom_tpu.statespace.families import NonGaussianBsts
+
+        if timestamps is not None:
+            from boom_tpu.utils.timestamps import (
+                collapse_to_grid,
+                regularize_timestamps,
+            )
+
+            info = regularize_timestamps(timestamps)
+            if not info.timestamps_are_trivial:
+                if family != "gaussian":
+                    raise NotImplementedError(
+                        "timestamp regularization requires the "
+                        "gaussian family")
+                grid = collapse_to_grid(np.asarray(y), info,
+                                        predictors=None
+                                        if predictors is None
+                                        else np.asarray(predictors))
+                y = grid["y_grid"]
+                model_kw.setdefault(
+                    "observed", jnp.asarray(grid["observed"]))
+                model_kw.setdefault(
+                    "obs_weights",
+                    jnp.asarray(grid["weights"],
+                                jnp.result_type(float)))
+                model_kw.setdefault("extra_obs_ss", grid["extra_ss"])
+                if predictors is not None:
+                    predictors = grid["predictors_grid"]
+                self._timestamp_info = info
 
         y = jnp.asarray(y)
         blocks = self._build_blocks(y)
@@ -511,7 +556,12 @@ class BstsModel(SavableFit):
         of the one-step-ahead forecasts y_t - v_t with actuals overlaid
         (PlotBstsForecastDistribution); 'qq' = posterior QQ fan of the
         standardized errors (diagnostics qqdist); 'acf' = posterior ACF
-        boxplots of the standardized errors (AcfDist)."""
+        boxplots of the standardized errors (AcfDist); 'predictors' =
+        standardized high-inclusion predictor series
+        (PlotBstsPredictors, plots.R:261); 'size' = model-size
+        histogram/trace (PlotBstsSize, plots.R:399); 'seasonal' /
+        'monthly' = per-season effect panels (PlotSeasonalEffect /
+        PlotMonthlyAnnualCycle)."""
         from boom_tpu import rplots
 
         if kind == "coefficients":
@@ -543,6 +593,65 @@ class BstsModel(SavableFit):
             return rplots.acf_dist(
                 np.asarray(self._one_step_errors(burn=burn)), ax=ax,
                 **kw)
+        if kind == "predictors":
+            # PlotBstsPredictors (plots.R:261): standardized predictor
+            # series whose inclusion probability clears the threshold,
+            # shaded by inclusion probability, sign-flipped to align
+            # with the (standardized) original series
+            assert "beta" in self.draws, "no regression component"
+            beta = np.asarray(self.draws["beta"]).reshape(
+                -1, self.draws["beta"].shape[-1])
+            if burn:
+                beta = np.asarray(
+                    self.draws["beta"][:, burn:]).reshape(-1,
+                                                          beta.shape[-1])
+            incl = (beta != 0).mean(0)
+            threshold = kw.pop("inclusion_threshold", 0.10)
+            flip = kw.pop("flip_signs", True)
+            keep = np.flatnonzero(incl > threshold)
+            ax = rplots._ensure_ax(ax)
+            x_mat = np.asarray(self._model.predictors)
+            y = np.asarray(self._model.y)
+
+            def _scale(v):
+                s = v.std()
+                return (v - v.mean()) / (s if s > 0 else 1.0)
+
+            order = keep[np.argsort(-incl[keep])]
+            for j in order:
+                series = _scale(x_mat[:, j])
+                if flip:
+                    bj = beta[:, j]
+                    bj = bj[bj != 0]
+                    if bj.size and (bj > 0).mean() <= 0.5:
+                        series = -series
+                shade = str(max(0.0, 1.0 - incl[j]))
+                ax.plot(series, color=shade,
+                        label=f"x{j} ({incl[j]:.2f})")
+            ax.plot(_scale(y), ".", color="blue", markersize=3)
+            if kw.pop("show_legend", True) and order.size:
+                ax.legend(fontsize=7)
+            return ax
+        if kind == "size":
+            # PlotBstsSize (plots.R:399): distribution of the number of
+            # included coefficients; style="histogram" (default) or "ts"
+            assert "gamma" in self.draws, "no regression component"
+            gamma = np.asarray(self.draws["gamma"])
+            if burn:
+                gamma = gamma[:, burn:]
+            size = gamma.sum(-1).reshape(-1)
+            ax = rplots._ensure_ax(ax)
+            if kw.pop("style", "histogram") == "ts":
+                per_iter = np.asarray(self.draws["gamma"]).sum(-1)
+                ax.plot(per_iter.mean(0))
+                ax.set_ylabel("model size")
+            else:
+                ax.hist(size, bins=np.arange(size.min() - 0.5,
+                                             size.max() + 1.5))
+                ax.set_xlabel("number of included predictors")
+            return ax
+        if kind in ("seasonal", "monthly"):
+            return self._plot_seasonal_effect(kind, burn=burn, **kw)
         contrib = {k: np.asarray(v)
                    for k, v in
                    self.state_contribution_draws(burn=burn).items()}
@@ -559,6 +668,57 @@ class BstsModel(SavableFit):
             return rplots.plot_dynamic_distribution(
                 y[None, :] - total, ax=ax, **kw)
         raise ValueError(f"unknown plot kind {kind!r}")
+
+    def _plot_seasonal_effect(self, kind, burn=0, same_scale=True,
+                              axes=None, **kw):
+        """Per-season effect panels (reference PlotSeasonalEffect,
+        plot_seasonal_effect.R, and PlotMonthlyAnnualCycle): one panel
+        per season showing how that season's effect evolves over the
+        years — the 'month plot' view of the seasonal component."""
+        import datetime
+
+        from boom_tpu import rplots
+        from boom_tpu.statespace.state_models import (
+            MonthlyAnnualCycle,
+            Seasonal,
+        )
+
+        want = MonthlyAnnualCycle if kind == "monthly" else Seasonal
+        block = next((b for b in self._model.blocks
+                      if isinstance(b, want)), None)
+        if block is None:
+            raise ValueError(f"model has no {kind} component")
+        contrib = np.asarray(
+            self.state_contribution_draws(burn=burn)[block.name])
+        t_len = contrib.shape[-1]
+        if kind == "monthly":
+            season = np.array(
+                [(block.first_date + datetime.timedelta(days=t)).month - 1
+                 for t in range(t_len)])
+            names = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul",
+                     "Aug", "Sep", "Oct", "Nov", "Dec"]
+            nseasons = 12
+        else:
+            nseasons = block.nseasons
+            season = np.arange(t_len) % nseasons
+            names = [f"season {s}" for s in range(nseasons)]
+
+        plt = rplots._plt()
+        if axes is None:
+            rows, cols = rplots.plot_grid_shape(nseasons)
+            _, axes = plt.subplots(rows, cols, squeeze=False)
+            axes = [a for row in axes for a in row]
+        lo, hi = float(contrib.min()), float(contrib.max())
+        for s in range(nseasons):
+            axx = axes[s]
+            idx = np.flatnonzero(season == s)
+            rplots.plot_dynamic_distribution(
+                contrib[..., idx].reshape(-1, idx.size),
+                timestamps=idx, ax=axx, **kw)
+            axx.set_title(names[s], fontsize=8)
+            if same_scale:
+                axx.set_ylim(lo, hi)
+        return axes
 
     def predict(self, horizon, seed=0, future_z=None,
                 future_predictors=None, max_draws=200):
@@ -654,15 +814,48 @@ class MbstsModel(SavableFit):
 
     def plot(self, kind="means", series=None, burn=0, **kw):
         """plot.mbsts dispatch (mbsts.plots.R:17): 'means' = per-series
-        conditional-mean fans with the actuals overlaid."""
+        conditional-mean fans with the actuals overlaid; 'prediction' =
+        per-series forecast fan charts continuing the training series
+        (plot.mbsts.prediction, mbsts.plots.R:177) — pass horizon=...
+        or prediction=<draws from .predict()>."""
         from boom_tpu import rplots
 
+        y = np.asarray(self._model.y)
+        k_dim = y.shape[1]
+        ids = list(range(k_dim) if series is None else series)
+        if kind == "prediction":
+            pred = kw.pop("prediction", None)
+            if pred is None:
+                pred = self.predict(kw.pop("horizon", 24),
+                                    seed=kw.pop("seed", 0), burn=burn)
+            pred = np.asarray(pred)  # [draws, h, K]
+            plot_original = kw.pop("plot_original", True)
+            t_len, h = y.shape[0], pred.shape[1]
+            times = np.arange(t_len, t_len + h)
+            plt = rplots._plt()
+            rows, cols = rplots.plot_grid_shape(len(ids))
+            fig, axes = plt.subplots(rows, cols, squeeze=False)
+            flat = [a for row in axes for a in row]
+            for axx, k in zip(flat, ids):
+                fan = pred[:, :, k]
+                med = np.median(fan, 0)
+                lo = np.quantile(fan, kw.get("interval_quantiles",
+                                             (0.025, 0.975))[0], axis=0)
+                hi = np.quantile(fan, kw.get("interval_quantiles",
+                                             (0.025, 0.975))[1], axis=0)
+                rplots.plot_dynamic_distribution(fan, timestamps=times,
+                                                 ax=axx)
+                axx.plot(times, med, color="blue", linewidth=2)
+                axx.plot(times, lo, color="green", linestyle="--")
+                axx.plot(times, hi, color="green", linestyle="--")
+                if plot_original:
+                    axx.plot(np.arange(t_len), y[:, k], ".",
+                             color="k", markersize=2)
+                axx.set_title(f"series {k}", fontsize=8)
+            return fig, axes
         if kind != "means":
             raise ValueError(f"unknown plot kind {kind!r}")
         means = np.asarray(self.series_mean_draws(burn=burn))
-        y = np.asarray(self._model.y)
-        k_dim = y.shape[1]
-        ids = range(k_dim) if series is None else series
         curves = [means[:, :, k] for k in ids]
         fig, axes = rplots.compare_dynamic_distributions(
             curves, names=[f"series {k}" for k in ids], **kw)

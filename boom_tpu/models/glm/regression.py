@@ -317,15 +317,23 @@ class SpikeSlabRegression:
 
         qprobs = (screening_proposal_probs(self.suf, self.prior)
                   if self.mode_jump else None)
+        swept = self.method == "sweep" and (
+            draw_ind is not draw_indicators_sweep)
 
         def sweep(key, state):
             k0, k1, k2, k3 = jax.random.split(key, 4)
             gamma = state["gamma"]
-            if self.mode_jump:
-                gamma = mode_jump_move(k0, self.suf, self.prior, gamma,
-                                       qprobs)
-            gamma = draw_ind(
-                k1, self.suf, self.prior, gamma, self.max_flips)
+            if self.mode_jump and swept:
+                # cheap path: the jump is evaluated incrementally INSIDE
+                # the SWEEP machinery (regression_sweep._mode_jump_swept)
+                gamma = draw_ind(k1, self.suf, self.prior, gamma,
+                                 self.max_flips, qprobs=qprobs)
+            else:
+                if self.mode_jump:
+                    gamma = mode_jump_move(k0, self.suf, self.prior,
+                                           gamma, qprobs)
+                gamma = draw_ind(
+                    k1, self.suf, self.prior, gamma, self.max_flips)
             sigsq = draw_sigsq(k2, self.suf, self.prior, gamma)
             beta = draw_beta(k3, self.suf, self.prior, gamma, sigsq)
             return {"gamma": gamma, "beta": beta, "sigsq": sigsq}

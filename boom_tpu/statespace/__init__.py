@@ -52,6 +52,7 @@ from boom_tpu.statespace.state_models import (
     RandomWalkHoliday,
     RegressionHoliday,
     SdPrior,
+    MonthlyAnnualCycle,
     Seasonal,
     SemilocalLinearTrend,
     StaticIntercept,
@@ -70,6 +71,7 @@ __all__ = [
     "pallas_simulation_smoother", "parallel_filter_moments",
     "parallel_smooth_states", "parallel_simulation_smoother",
     "SdPrior", "LocalLevel", "LocalLinearTrend", "Seasonal", "Trig",
+    "MonthlyAnnualCycle",
     "ArState", "StaticIntercept", "SemilocalLinearTrend",
     "DynamicRegression", "RandomWalkHoliday", "StudentLocalLinearTrend",
     "RegressionHoliday", "HierarchicalRegressionHoliday",

@@ -72,6 +72,19 @@ class Bsts:
     predictors: jax.Array | None = None
     reg_prior: SpikeSlabPrior | None = None
     reg_max_flips: int | None = None
+    # Irregular-timestamp support (reference format.timestamps.R:77-127
+    # RegularizeTimestamps + the C++ TimeSeriesDataPolicy multiplexing):
+    # y lives on the REGULARIZED grid (utils.timestamps.regularize).
+    #   observed: [T] bool, False at grid points with no data (gaps)
+    #   obs_weights: [T] float, number of raw observations AVERAGED
+    #     into y[t] (duplicate timestamps); the Gaussian model is exact
+    #     under this collapse with h_t = sigsq/w_t
+    #   extra_obs_ss: the within-timestamp sum of squares lost by
+    #     averaging — a data constant that re-enters the sigsq_obs
+    #     posterior (sum_t sum_i (y_ti - ybar_t)^2)
+    observed: jax.Array | None = None
+    obs_weights: jax.Array | None = None
+    extra_obs_ss: float = 0.0
     # Temporal-parallel (O(log T) depth) simulation smoother dispatch:
     #   "auto"   — use the in-VMEM Pallas Hillis-Steele scan
     #              (pallas_scan.py) when it wins: static system, small
@@ -215,6 +228,10 @@ class Bsts:
         return any(hasattr(b, "q_scale_seq") for b in self.blocks)
 
     @property
+    def _time_varying_t(self):
+        return any(hasattr(b, "t_seq") for b in self.blocks)
+
+    @property
     def t_len(self):
         return self.y.shape[0]
 
@@ -250,15 +267,32 @@ class Bsts:
                 else:
                     scales.append(jnp.ones((t_len, b.err_dim)))
             q_scale = jnp.concatenate(scales, axis=-1)
+        t_seq = None
+        if self._time_varying_t:
+            # assemble [T, d, d] block-diag transitions: t_seq blocks
+            # (MonthlyAnnualCycle) supply per-step matrices, static
+            # blocks broadcast theirs
+            seqs = []
+            for b, t_static in zip(self.blocks, ts):
+                if hasattr(b, "t_seq"):
+                    seqs.append(b.t_seq(t_len))
+                else:
+                    seqs.append(jnp.broadcast_to(
+                        t_static, (t_len,) + t_static.shape))
+            t_seq = jax.vmap(lambda *ms: _block_diag(list(ms)))(*seqs)
         return SsmParams(
             z=jnp.concatenate(zs, axis=-1),
             t_mat=_block_diag(ts),
             r_mat=_block_diag(rs),
             q_mat=_block_diag(qs),
-            h=state["sigsq_obs"],
+            h=(state["sigsq_obs"]
+               if self.obs_weights is None
+               else state["sigsq_obs"]
+               / jnp.maximum(self.obs_weights, 1.0)),
             a0=jnp.concatenate(a0s),
             p0=_block_diag(p0s),
             q_scale=q_scale,
+            t_seq=t_seq,
         )
 
     # -- state --------------------------------------------------------------
@@ -283,12 +317,17 @@ class Bsts:
         # see data-scale innovations (an all-zero path is an absorbing
         # trap: zero innovations collapse the variance draws)
         params0 = self.ssm_params(state)
-        state["alpha"] = self._smoother(params0)(keys[2], params0, self.y)
+        state["alpha"] = self._smoother(params0)(keys[2], params0, self.y,
+                                                 self.observed)
         return state
 
     def _smoother(self, params):
         """Simulation-smoother dispatch (see parallel_smoother docs)."""
         mode = self.parallel_smoother
+        if self.observed is not None:
+            # gap-masked series: only the general DK smoother threads
+            # the observed mask
+            return simulation_smoother
         if params.time_varying or mode is False:
             return simulation_smoother
         if mode == "pallas":
@@ -303,8 +342,21 @@ class Bsts:
     # -- Gibbs sweep (StateSpacePosteriorSampler::draw analog) --------------
     def kernel(self):
         has_reg = self.predictors is not None
+        # observation weights for the regularized-timestamp path: None
+        # on the plain dense path (no extra work), else [T] floats with
+        # 0 at gaps and n_t at multiplexed timepoints
+        w_obs = None
+        if self.obs_weights is not None:
+            w_obs = jnp.asarray(self.obs_weights, self.y.dtype)
+        elif self.observed is not None:
+            w_obs = jnp.asarray(self.observed, self.y.dtype)
+        n_obs = None if w_obs is None else jnp.sum(w_obs)
         if has_reg:
-            xtx = self.predictors.T @ self.predictors
+            if w_obs is None:
+                xtx = self.predictors.T @ self.predictors
+            else:
+                xtx = self.predictors.T @ (w_obs[:, None]
+                                           * self.predictors)
             draw_ind = (draw_indicators_swept
                         if valid_for_prior(self.reg_prior)
                         else draw_indicators_sweep)
@@ -326,9 +378,22 @@ class Bsts:
             if has_reg:
                 k1, k2, k3 = jax.random.split(k_obs, 3)
                 y_reg = self.y - state_contrib
-                suf = RegSuf(xtx=xtx, xty=self.predictors.T @ y_reg,
-                             yty=y_reg @ y_reg,
-                             n=jnp.asarray(y_reg.shape[0], y_reg.dtype))
+                if w_obs is None:
+                    suf = RegSuf(xtx=xtx, xty=self.predictors.T @ y_reg,
+                                 yty=y_reg @ y_reg,
+                                 n=jnp.asarray(y_reg.shape[0],
+                                               y_reg.dtype))
+                else:
+                    # regularized-timestamp path: gaps carry weight 0,
+                    # duplicate timepoints weight n_t (weighted
+                    # regression under the W inner product; the lost
+                    # within-timestamp SS re-enters yty)
+                    suf = RegSuf(
+                        xtx=xtx,
+                        xty=self.predictors.T @ (w_obs * y_reg),
+                        yty=jnp.sum(w_obs * y_reg * y_reg)
+                        + self.extra_obs_ss,
+                        n=jnp.asarray(n_obs, y_reg.dtype))
                 gamma = draw_ind(k1, suf, self.reg_prior, state["gamma"],
                                  self.reg_max_flips)
                 sigsq = draw_sigsq(k2, suf, self.reg_prior, gamma)
@@ -338,8 +403,14 @@ class Bsts:
                 out["sigsq_obs"] = sigsq
             else:
                 resid = self.y - state_contrib
-                out["sigsq_obs"] = self.obs_prior.draw_variance(
-                    k_obs, resid.shape[0], jnp.sum(resid * resid))
+                if w_obs is None:
+                    out["sigsq_obs"] = self.obs_prior.draw_variance(
+                        k_obs, resid.shape[0], jnp.sum(resid * resid))
+                else:
+                    out["sigsq_obs"] = self.obs_prior.draw_variance(
+                        k_obs, n_obs,
+                        jnp.sum(w_obs * resid * resid)
+                        + self.extra_obs_ss)
 
             # 2. state-model parameter draws | current state path
             y_minus_reg = self.y
@@ -373,7 +444,8 @@ class Bsts:
             y_adj = y_minus_reg
             params = self.ssm_params(out)
             # temporal-parallel smoothers assume a static system
-            out["alpha"] = self._smoother(params)(k_state, params, y_adj)
+            out["alpha"] = self._smoother(params)(k_state, params, y_adj,
+                                                  self.observed)
 
             # 4. ASIS interweaving: non-centered re-draw of state sigmas
             if self.asis:
@@ -455,7 +527,8 @@ class Bsts:
             def logp(u, path=path, prior=prior):
                 sigsq = jnp.exp(u)
                 st = set_param(out, path, sigsq)
-                ll = kalman_loglik(self.ssm_params(st), y_adj)
+                ll = kalman_loglik(self.ssm_params(st), y_adj,
+                                   self.observed)
                 # + u: Jacobian of the log transform
                 return ll + sic_logp(sigsq, prior) + u
 
@@ -484,7 +557,8 @@ class Bsts:
             def logp_dir(a, u_vec=u_vec, direction=direction):
                 u = u_vec + a * direction
                 st = set_vec(out, u)
-                ll = kalman_loglik(self.ssm_params(st), y_adj)
+                ll = kalman_loglik(self.ssm_params(st), y_adj,
+                                   self.observed)
                 lp = ll
                 for (path, prior), ui in zip(groups, u):
                     lp = lp + sic_logp(jnp.exp(ui), prior) + ui
@@ -531,7 +605,8 @@ class Bsts:
             st = state
             for (path, _prior), u in zip(groups, u_vec):
                 st = set_param(st, path, jnp.exp(u))
-            lp = kalman_loglik(self.ssm_params(st), y_adj)
+            lp = kalman_loglik(self.ssm_params(st), y_adj,
+                               self.observed)
             for (path, prior), u in zip(groups, u_vec):
                 lp = lp + sic_logp(jnp.exp(u), prior) + u
             return lp
@@ -809,7 +884,8 @@ class Bsts:
 
         def neg_loglik(us):
             st = set_all(state, us)
-            return -kalman_loglik(self.ssm_params(st), y_adj)
+            return -kalman_loglik(self.ssm_params(st), y_adj,
+                                  self.observed)
 
         u0 = jnp.stack([
             jnp.log(state["sigsq_obs"] if path[0] == "sigsq_obs"
@@ -824,7 +900,8 @@ class Bsts:
         y_adj = self.y
         if self.predictors is not None:
             y_adj = self.y - self.predictors @ state["beta"]
-        return kalman_loglik(self.ssm_params(state), y_adj)
+        return kalman_loglik(self.ssm_params(state), y_adj,
+                             self.observed)
 
     def state_contributions(self, state):
         """Per-block contribution paths {name: [T]} (bsts plot analog)."""
@@ -886,26 +963,47 @@ class Bsts:
         for b in self.blocks:
             if b.name in future_q_scale:
                 s_rows.append(jnp.asarray(future_q_scale[b.name]))
+            elif hasattr(b, "future_q_scale"):
+                # calendar-driven blocks (MonthlyAnnualCycle) continue
+                # their own innovation gating into the forecast period
+                s_rows.append(b.future_q_scale(self.t_len, horizon))
             else:
                 s_rows.append(jnp.ones((horizon, b.err_dim)))
         s_fut = jnp.concatenate(s_rows, axis=-1)
+
+        # forecast-period transitions: static unless a block rotates on
+        # the calendar (t_seq blocks expose future_t_rows)
+        t_fut = None
+        if self._time_varying_t:
+            mats = []
+            for b in self.blocks:
+                if hasattr(b, "future_t_rows"):
+                    mats.append(b.future_t_rows(self.t_len, horizon))
+                else:
+                    t_b, _, _ = b.build(final_state["blocks"][b.name])
+                    mats.append(jnp.broadcast_to(
+                        t_b, (horizon,) + t_b.shape))
+            t_fut = jax.vmap(lambda *ms: _block_diag(list(ms)))(*mats)
 
         k_scan = jax.random.split(key, horizon)
 
         from boom_tpu.statespace.kalman import _mv
 
         def step(alpha, inp):
-            k, z_t, s_t = inp
+            k, z_t, s_t, t_t = inp
             k_eta, k_eps = jax.random.split(k)
             eta = (s_t * _mv(q_chol, jax.random.normal(k_eta, (q_dim,)))
                    if q_dim else jnp.zeros((0,)))
-            alpha_next = _mv(params.t_mat, alpha) + _mv(params.r_mat, eta)
+            alpha_next = _mv(t_t, alpha) + _mv(params.r_mat, eta)
             y_next = (jnp.sum(z_t * alpha_next, -1)
-                      + jnp.sqrt(params.hs(1)[0])
+                      + jnp.sqrt(final_state["sigsq_obs"])
                       * jax.random.normal(k_eps))
             return alpha_next, y_next
 
-        _, ys = jax.lax.scan(step, alpha_t, (k_scan, z_fut, s_fut))
+        if t_fut is None:
+            t_fut = jnp.broadcast_to(params.t_mat,
+                                     (horizon,) + params.t_mat.shape)
+        _, ys = jax.lax.scan(step, alpha_t, (k_scan, z_fut, s_fut, t_fut))
         return ys
 
 

@@ -59,6 +59,12 @@ class SsmParams(NamedTuple):
     a0: jax.Array  # [d] initial state mean
     p0: jax.Array  # [d, d] initial state covariance
     q_scale: jax.Array | None = None  # optional [T, q] sd scale on Q
+    # optional [T, d, d] per-step transition: T_t maps alpha_t ->
+    # alpha_{t+1} (the MonthlyAnnualCycle family rotates its seasonal
+    # block only at month boundaries — reference SeasonalStateModel.hpp:
+    # 134 new_season(t); here the date pattern is a static trace-time
+    # sequence so XLA still sees fixed shapes)
+    t_seq: jax.Array | None = None
 
     @property
     def rqr(self):
@@ -67,7 +73,13 @@ class SsmParams(NamedTuple):
     @property
     def time_varying(self):
         return (self.z.ndim == 2 or jnp.ndim(self.h) == 1
-                or self.q_scale is not None)
+                or self.q_scale is not None or self.t_seq is not None)
+
+    def ts(self, t_len):
+        """[T, d, d] transition matrices."""
+        if self.t_seq is not None:
+            return self.t_seq
+        return jnp.broadcast_to(self.t_mat, (t_len,) + self.t_mat.shape)
 
     def zs(self, t_len):
         """[T, d] observation vectors."""
@@ -138,9 +150,8 @@ def _filter_core(params: SsmParams, y, observed, want_ap: bool):
     t_len = y.shape[0]
     dtype = params.t_mat.dtype
     tv = params.time_varying
-    t_mat = params.t_mat
 
-    def step_core(a, p, y_t, obs_t, z_t, h_t, rqr_t):
+    def step_core(a, p, y_t, obs_t, z_t, h_t, rqr_t, t_mat):
         v = jnp.where(obs_t, y_t - _vdot(z_t, a), 0.0)
         pz = _mv(p, z_t)
         f = _vdot(z_t, pz) + h_t
@@ -158,19 +169,29 @@ def _filter_core(params: SsmParams, y, observed, want_ap: bool):
             out = out + (a, p)
         return (a_next, p_next), out
 
-    if tv:
+    if tv and params.t_seq is not None:
+        xs = (y.astype(dtype), observed, params.zs(t_len).astype(dtype),
+              params.hs(t_len).astype(dtype), params.rqrs(t_len),
+              params.ts(t_len).astype(dtype))
+
+        def step(carry, inp):
+            return step_core(*carry, *inp)
+    elif tv:
+        t_static = params.t_mat
         xs = (y.astype(dtype), observed, params.zs(t_len).astype(dtype),
               params.hs(t_len).astype(dtype), params.rqrs(t_len))
 
         def step(carry, inp):
-            return step_core(*carry, *inp)
+            return step_core(*carry, *inp, t_static)
     else:
         rqr = params.rqr
         z_vec, h_sc = params.z, params.h
+        t_static = params.t_mat
         xs = (y.astype(dtype), observed)
 
         def step(carry, inp):
-            return step_core(*carry, inp[0], inp[1], z_vec, h_sc, rqr)
+            return step_core(*carry, inp[0], inp[1], z_vec, h_sc, rqr,
+                             t_static)
 
     return jax.lax.scan(
         step, (params.a0.astype(dtype), params.p0.astype(dtype)),
@@ -201,9 +222,8 @@ def kalman_loglik(params: SsmParams, y, observed=None):
     if observed is None:
         observed = jnp.ones((t_len,), bool)
     tv = params.time_varying
-    t_mat = params.t_mat
 
-    def step_core(a, p, ll, y_t, obs_t, z_t, h_t, rqr_t):
+    def step_core(a, p, ll, y_t, obs_t, z_t, h_t, rqr_t, t_mat):
         v = jnp.where(obs_t, y_t - _vdot(z_t, a), 0.0)
         pz = _mv(p, z_t)
         f = _vdot(z_t, pz) + h_t
@@ -218,20 +238,29 @@ def kalman_loglik(params: SsmParams, y, observed=None):
             0.0)
         return a_next, p_next, ll_next
 
-    if tv:
+    if tv and params.t_seq is not None:
+        xs = (y.astype(dtype), observed, params.zs(t_len).astype(dtype),
+              params.hs(t_len).astype(dtype), params.rqrs(t_len),
+              params.ts(t_len).astype(dtype))
+
+        def step(carry, inp):
+            return step_core(*carry, *inp), None
+    elif tv:
+        t_static = params.t_mat
         xs = (y.astype(dtype), observed, params.zs(t_len).astype(dtype),
               params.hs(t_len).astype(dtype), params.rqrs(t_len))
 
         def step(carry, inp):
-            return step_core(*carry, *inp), None
+            return step_core(*carry, *inp, t_static), None
     else:
         rqr = params.rqr
         z_vec, h_sc = params.z, params.h
+        t_static = params.t_mat
         xs = (y.astype(dtype), observed)
 
         def step(carry, inp):
             return step_core(*carry, inp[0], inp[1], z_vec, h_sc,
-                             rqr), None
+                             rqr, t_static), None
 
     (_, _, ll), _ = jax.lax.scan(
         step, (params.a0.astype(dtype), params.p0.astype(dtype),
@@ -250,21 +279,44 @@ def _smoother_passes(params: SsmParams, v, f, k, observed):
     rqrs = params.rqrs(t_len) if tv else None
     rqr = None if tv else params.rqr
     t_mat = params.t_mat
-
-    def bstep(r, inp):
-        v_t, f_t, k_gain, obs, z_t = inp
-        l_mat = t_mat - k_gain[..., :, None] * z_t[..., None, :]
-        r_prev = (jnp.where(obs, z_t * (v_t / f_t), 0.0)
-                  + _mv(jnp.swapaxes(l_mat, -1, -2), r))
-        return r_prev, r_prev
+    ts = params.ts(t_len) if params.t_seq is not None else None
 
     zero_r = jnp.zeros_like(params.a0)
-    _, rs = jax.lax.scan(bstep, zero_r, (v, f, k, observed, zs),
-                         reverse=True, unroll=SCAN_UNROLL)
+    if ts is not None:
+        def bstep(r, inp):
+            v_t, f_t, k_gain, obs, z_t, t_t = inp
+            l_mat = t_t - k_gain[..., :, None] * z_t[..., None, :]
+            r_prev = (jnp.where(obs, z_t * (v_t / f_t), 0.0)
+                      + _mv(jnp.swapaxes(l_mat, -1, -2), r))
+            return r_prev, r_prev
+
+        _, rs = jax.lax.scan(bstep, zero_r, (v, f, k, observed, zs, ts),
+                             reverse=True, unroll=SCAN_UNROLL)
+    else:
+        # static-T body: T stays a closure constant so the scan reads no
+        # [T, d, d] stream (the bench-critical path's HBM budget)
+        def bstep(r, inp):
+            v_t, f_t, k_gain, obs, z_t = inp
+            l_mat = t_mat - k_gain[..., :, None] * z_t[..., None, :]
+            r_prev = (jnp.where(obs, z_t * (v_t / f_t), 0.0)
+                      + _mv(jnp.swapaxes(l_mat, -1, -2), r))
+            return r_prev, r_prev
+
+        _, rs = jax.lax.scan(bstep, zero_r, (v, f, k, observed, zs),
+                             reverse=True, unroll=SCAN_UNROLL)
     # rs[t] = r_{t-1}; alpha_1 = a_1 + P_1 r_0 with a_1 = a0, P_1 = P0
     alpha0 = params.a0 + _mv(params.p0, rs[0])
 
-    if tv:
+    if tv and ts is not None:
+        def fstep(alpha, inp):
+            r_t, rqr_t, t_t = inp
+            alpha_next = _mv(t_t, alpha) + _mv(rqr_t, r_t)
+            return alpha_next, alpha_next
+
+        _, alphas = jax.lax.scan(fstep, alpha0,
+                                 (rs[1:], rqrs[:-1], ts[:-1]),
+                                 unroll=SCAN_UNROLL)
+    elif tv:
         def fstep(alpha, inp):
             r_t, rqr_t = inp
             alpha_next = _mv(t_mat, alpha) + _mv(rqr_t, r_t)
@@ -320,11 +372,22 @@ def simulate(key, params: SsmParams, t_len: int):
     norms = jax.random.normal(ka, (t_len - 1, q_dim), dtype)
     etas = scales[:-1] * jnp.einsum("ij,tj->ti", q_chol, norms)
 
-    def step(alpha, eta_t):
-        alpha_next = _mv(params.t_mat, alpha) + _mv(params.r_mat, eta_t)
-        return alpha_next, alpha_next
+    if params.t_seq is not None:
+        def step(alpha, inp):
+            eta_t, t_t = inp
+            alpha_next = _mv(t_t, alpha) + _mv(params.r_mat, eta_t)
+            return alpha_next, alpha_next
 
-    _, alphas = jax.lax.scan(step, alpha1, etas, unroll=SCAN_UNROLL)
+        _, alphas = jax.lax.scan(step, alpha1,
+                                 (etas, params.ts(t_len)[:-1]),
+                                 unroll=SCAN_UNROLL)
+    else:
+        def step(alpha, eta_t):
+            alpha_next = _mv(params.t_mat, alpha) + _mv(params.r_mat,
+                                                        eta_t)
+            return alpha_next, alpha_next
+
+        _, alphas = jax.lax.scan(step, alpha1, etas, unroll=SCAN_UNROLL)
     alphas = jnp.concatenate([alpha1[None], alphas], axis=0)
     eps = jnp.sqrt(params.hs(t_len)) * jax.random.normal(ke, (t_len,), dtype)
     y = jnp.einsum("td,td->t", params.zs(t_len), alphas) + eps

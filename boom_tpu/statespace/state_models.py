@@ -237,6 +237,125 @@ class Seasonal:
 
 
 # ---------------------------------------------------------------------------
+# Monthly annual cycle — reference SeasonalStateModel.hpp:134
+# (MonthlyAnnualCycle: new_season(t) iff the date at t has day() == 1),
+# bsts add.monthly.annual.cycle.R. A 12-season cycle for DAILY data that
+# rotates only on the first day of each month; month lengths differ, so
+# the transition is genuinely time-varying — here a trace-time-static
+# [T, d, d] sequence (kalman.SsmParams.t_seq) computed from the calendar,
+# so XLA still compiles one fixed-shape program.
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class MonthlyAnnualCycle:
+    first_date: object  # datetime.date of y[0]
+    sigma_prior: SdPrior
+    initial_sd: float = 1.0
+    name: str = "monthly"
+
+    nseasons = 12
+    err_dim: int = 1
+
+    @property
+    def dim(self):
+        return self.nseasons - 1
+
+    @staticmethod
+    def default(y, first_date, name="monthly"):
+        """Reference defaults (add.monthly.annual.cycle.R): sigma prior
+        SdPrior(.01 sdy, upper=sdy), initial state N(0, sdy^2)."""
+        sd = float(jnp.std(y))
+        return MonthlyAnnualCycle(
+            first_date=first_date,
+            sigma_prior=SdPrior(sigma_guess=0.01 * sd, upper_limit=sd),
+            initial_sd=sd, name=name)
+
+    def _boundary_np(self, start, length):
+        """Host-side float [length] array: entry k is 1.0 iff the
+        transition t=start+k -> t+1 crosses into a new month, i.e. the
+        date at start+k+1 is the 1st (new_season(t+1),
+        SeasonalStateModel.hpp:144). Pure numpy so callers can take
+        static counts; static under jit."""
+        import datetime
+
+        import numpy as np
+
+        out = np.zeros((length,), np.float64)
+        for k in range(length):
+            d = self.first_date + datetime.timedelta(days=start + k + 1)
+            out[k] = 1.0 if d.day == 1 else 0.0
+        return out
+
+    def _boundary(self, start, length):
+        return jnp.asarray(self._boundary_np(start, length),
+                           jnp.result_type(float))
+
+    def _rotation(self):
+        d = self.dim
+        top = -jnp.ones((1, d))
+        shift = jnp.eye(d - 1, d)
+        return jnp.concatenate([top, shift], axis=0)
+
+    def z(self):
+        return jnp.zeros((self.dim,)).at[0].set(1.0)
+
+    def t_seq(self, t_len):
+        """[T, d, d]: rotation at month boundaries, identity elsewhere."""
+        bnd = self._boundary(0, t_len)
+        rot = self._rotation()
+        eye = jnp.eye(self.dim)
+        return jnp.where(bnd[:, None, None] > 0, rot, eye)
+
+    def q_scale_seq(self, params, t_len):
+        """[T, 1] innovation sd gate: the seasonal increment only fires
+        on transitions into a new month."""
+        return self._boundary(0, t_len)[:, None]
+
+    def future_t_rows(self, t_len, horizon):
+        """[h, d, d] forecast-period transitions (predict continues the
+        calendar from the end of the training series)."""
+        bnd = self._boundary(t_len - 1, horizon)
+        rot = self._rotation()
+        eye = jnp.eye(self.dim)
+        return jnp.where(bnd[:, None, None] > 0, rot, eye)
+
+    def future_q_scale(self, t_len, horizon):
+        return self._boundary(t_len - 1, horizon)[:, None]
+
+    def build(self, params):
+        # static fallback T (the rotation); when this block is present
+        # the model assembles t_seq and this matrix is unused in the
+        # filter, but it keeps the block-diag shapes consistent
+        r_mat = jnp.zeros((self.dim, 1)).at[0, 0].set(1.0)
+        q_mat = params["sigma_monthly_sq"][None, None] * jnp.ones((1, 1))
+        return self._rotation(), r_mat, q_mat
+
+    def init_dist(self):
+        d = self.dim
+        return jnp.zeros((d,)), self.initial_sd**2 * jnp.eye(d)
+
+    def init_params(self, key):
+        u = jax.random.uniform(key, (), minval=0.02, maxval=0.3)
+        return {"sigma_monthly_sq": (self.initial_sd * u) ** 2}
+
+    def draw_params(self, key, params, path):
+        t_len = path.shape[0]
+        bnd_np = self._boundary_np(0, t_len - 1)
+        bnd = jnp.asarray(bnd_np, path.dtype)
+        # innovation at a boundary step: alpha_{t+1,0} = -sum(alpha_t) + eta
+        eta = path[1:, 0] + jnp.sum(path[:-1], axis=-1)
+        ss = jnp.sum(bnd * eta * eta)
+        n = float(bnd_np.sum())  # static month-boundary count
+        sigsq = self.sigma_prior.draw_variance(key, n, ss)
+        return {"sigma_monthly_sq": sigsq}
+
+    def asis_groups(self):
+        # the ASIS/marginal machinery assumes a static transition; this
+        # block's variance mixes through the centered draw (the
+        # reference has only the centered draw for it as well)
+        return []
+
+
+# ---------------------------------------------------------------------------
 # Trigonometric seasonality — reference TrigStateModel.hpp; bsts add.trig
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True)

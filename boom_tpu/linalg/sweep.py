@@ -59,6 +59,52 @@ def unsweep(a, k):
     return _rank1_sweep(a, k, row_sign=-1.0)
 
 
+def flip_sweep(a, k, currently_swept):
+    """sweep(a, k) when `currently_swept` is False, unsweep(a, k) when
+    True — in ONE rank-1 pass. The two operations share the entire
+    rank-1 body and differ only in the sign applied to row/col k
+    (row_sign), which may be a traced per-batch scalar. This halves the
+    matrix work of a data-dependent flip versus computing both results
+    and selecting (the select form also materializes three [d, d]
+    buffers; under a chain vmap that extra HBM traffic is the dominant
+    cost of the SSVS flip scan)."""
+    a = jnp.asarray(a)
+    sign = jnp.where(currently_swept, -1.0, 1.0).astype(a.dtype)
+    return _rank1_sweep(a, k, row_sign=sign)
+
+
+def gated_flip_sweep(a, k, currently_swept, gate):
+    """flip_sweep(a, k, currently_swept) when `gate` is True, `a`
+    unchanged when False — the gate folded INTO the rank-1 pass instead
+    of a post-hoc select over the full matrix. In a Gibbs flip scan the
+    accept decision is per-chain data, so a `lax.cond` lowers to a
+    select under vmap anyway; this form removes that extra full-matrix
+    read-write per iteration."""
+    a = jnp.asarray(a)
+    d = a.shape[-1]
+    g = jnp.asarray(gate, a.dtype)
+    sign = jnp.where(currently_swept, -1.0, 1.0).astype(a.dtype)
+    col = jax.lax.dynamic_slice_in_dim(a, k, 1, axis=-1)  # (..., d, 1)
+    row = jax.lax.dynamic_slice_in_dim(a, k, 1, axis=-2)  # (..., 1, d)
+    pivot = jax.lax.dynamic_slice_in_dim(col, k, 1, axis=-2)
+    inv_pivot = 1.0 / pivot
+    ek_row = jax.nn.one_hot(k, d, dtype=a.dtype)[None, :]
+    ek_col = ek_row.reshape(d, 1)
+    not_k_row = 1.0 - ek_row
+    not_k_col = 1.0 - ek_col
+    g_b = jnp.reshape(g, jnp.shape(g) + (1, 1)) if jnp.ndim(g) else g
+
+    out = a - g_b * (col * inv_pivot * row)
+    out = out * not_k_col * not_k_row
+    # row/col k: scaled by sign/pivot when gated, passed through when not
+    edge = g_b * (sign * inv_pivot) + (1.0 - g_b)
+    out = out + ek_col * (row * edge * not_k_row)
+    out = out + ek_row * (col * edge * not_k_col)
+    corner = g_b * (-inv_pivot) + (1.0 - g_b) * pivot
+    out = out + (ek_col * ek_row) * corner
+    return out
+
+
 def sweep_subset(a, mask):
     """Sweep every index where mask is True, via a fixed-length scan.
 

@@ -39,8 +39,17 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from boom_tpu.linalg.sweep import sweep as _sweep, unsweep as _unsweep
+from boom_tpu.linalg.sweep import gated_flip_sweep as _gated_flip
 from boom_tpu.models.glm.regression import RegSuf, SpikeSlabPrior
+
+# Unroll factor for the coordinate scans (build / flip / mode-jump walk).
+# MEASURED ON TPU (r5): unroll=4 REGRESSED the 1024-chain bench sweep
+# 6.6 s -> 10.0 s — each unrolled iteration keeps another live copy of
+# the [chains, p+1, p+1] sweep state (~10.6 MB at bench config), so
+# unrolling trades loop overhead for HBM pressure and loses. Unlike the
+# kalman time-axis scan (tiny [d, d] carry, unroll=8 wins), these
+# scans carry the big matrix: keep unroll=1.
+_SCAN_UNROLL = 1
 
 
 def valid_for_prior(prior: SpikeSlabPrior) -> bool:
@@ -85,17 +94,17 @@ def build_sweep_state(suf: RegSuf, prior: SpikeSlabPrior, mask) -> SweepState:
         incl = mask[j]
         piv_a = s[j, j]
         piv_o = o[j, j]
-        s_new = _sweep(s, j)
-        o_new = _sweep(o, j)
-        s = jnp.where(incl, s_new, s)
-        o = jnp.where(incl, o_new, o)
+        # gate folded into the rank-1 pass (no post-hoc full-matrix
+        # select; see linalg.gated_flip_sweep)
+        s = _gated_flip(s, j, False, incl)
+        o = _gated_flip(o, j, False, incl)
         ld_a = ld_a + jnp.where(incl, jnp.log(piv_a), 0.0)
         ld_o = ld_o + jnp.where(incl, jnp.log(piv_o), 0.0)
         return (s, o, ld_a, ld_o), None
 
     (s, o, ld_a, ld_o), _ = jax.lax.scan(
         body, (s0, o0, jnp.zeros((), dtype), jnp.zeros((), dtype)),
-        jnp.arange(p))
+        jnp.arange(p), unroll=_SCAN_UNROLL)
     m = jnp.asarray(mask, dtype)
     bm = prior.mean * m
     q = bm @ (prior.unscaled_precision @ bm)
@@ -138,20 +147,21 @@ def _flip_deltas(st: SweepState, prior: SpikeSlabPrior, j):
     return corner, dq, d_ld_a, d_ld_o, d_spike
 
 
-def _apply_flip(st: SweepState, prior: SpikeSlabPrior, j,
-                corner, dq, d_ld_a, d_ld_o, d_spike):
+def _gated_apply_flip(st: SweepState, prior: SpikeSlabPrior, j, take,
+                      dq, d_ld_a, d_ld_o, d_spike):
+    """Apply the flip at j when `take` is True, no-op when False — the
+    gate rides inside the rank-1 matrix pass (gated_flip_sweep) and the
+    scalar updates are cheap selects. Replaces the lax.cond form, which
+    lowers to a full-matrix select under the chain vmap."""
     incl = st.mask[j]
-    s_new = jnp.where(incl, _unsweep(st.s, j),
-                      _sweep(st.s, j))
-    o_new = jnp.where(incl, _unsweep(st.o, j),
-                      _sweep(st.o, j))
     return SweepState(
-        s=s_new, o=o_new,
-        logdet_a=st.logdet_a + d_ld_a,
-        logdet_o=st.logdet_o + d_ld_o,
-        q=st.q + dq,
-        spike=st.spike + d_spike,
-        mask=st.mask.at[j].set(~incl),
+        s=_gated_flip(st.s, j, incl, take),
+        o=_gated_flip(st.o, j, incl, take),
+        logdet_a=st.logdet_a + jnp.where(take, d_ld_a, 0.0),
+        logdet_o=st.logdet_o + jnp.where(take, d_ld_o, 0.0),
+        q=st.q + jnp.where(take, dq, 0.0),
+        spike=st.spike + jnp.where(take, d_spike, 0.0),
+        mask=st.mask.at[j].set(jnp.where(take, ~incl, incl)),
     )
 
 
@@ -169,7 +179,7 @@ def _mode_jump_swept(key, st: SweepState, logp_cur, prior: SpikeSlabPrior,
                      df, qprobs):
     """Independence-MH between-mode move evaluated INCREMENTALLY on the
     SWEEP state: propose g' ~ prod Bernoulli(qprobs), walk from g to g'
-    one flip at a time re-using _flip_deltas/_apply_flip (O(p^2) per
+    one flip at a time re-using _flip_deltas/_gated_apply_flip (O(p^2) per
     differing coordinate, at most MODE_JUMP_BUDGET of them), and accept
     with the exact collapsed posterior odds. The cheap form of
     regression.mode_jump_move for the hot path: the Cholesky-path
@@ -182,9 +192,11 @@ def _mode_jump_swept(key, st: SweepState, logp_cur, prior: SpikeSlabPrior,
     prop = jax.random.uniform(k_prop, (p,), qprobs.dtype) < qprobs
     diff = prop != st.mask
     n_diff = jnp.sum(diff)
-    # differing coordinates first (stable argsort of ~diff), then walk
-    # the first min(n_diff, BUDGET) slots
-    order = jnp.argsort(~diff)
+    # the (up to BUDGET) differing coordinates, via top_k on the diff
+    # mask — measurably cheaper than a full argsort in the hot loop;
+    # non-differing pad slots are gated off by `steps < n_diff`
+    budget = min(MODE_JUMP_BUDGET, p)
+    _, order = jax.lax.top_k(diff.astype(jnp.int32), budget)
 
     def walk(carry, j):
         st_c, logp_c, steps = carry
@@ -197,17 +209,14 @@ def _mode_jump_swept(key, st: SweepState, logp_cur, prior: SpikeSlabPrior,
             - (0.5 * df - 1.0) * jnp.log(jnp.maximum(ss_flip, 1e-300)),
             -jnp.inf)
         do = steps < n_diff
-        new_st = jax.lax.cond(
-            do,
-            lambda: _apply_flip(st_c, prior, j, corner, dq, d_ld_a,
-                                d_ld_o, d_spike),
-            lambda: st_c)
+        new_st = _gated_apply_flip(st_c, prior, j, do, dq, d_ld_a,
+                                   d_ld_o, d_spike)
         new_logp = jnp.where(do, logp_flip, logp_c)
         return (new_st, new_logp, steps + 1), None
 
     (st_prop, logp_prop, _), _ = jax.lax.scan(
         walk, (st, logp_cur, jnp.zeros((), jnp.int32)),
-        order[:MODE_JUMP_BUDGET])
+        order, unroll=_SCAN_UNROLL)
 
     logq = jnp.log(qprobs)
     log1mq = jnp.log1p(-qprobs)
@@ -218,7 +227,7 @@ def _mode_jump_swept(key, st: SweepState, logp_cur, prior: SpikeSlabPrior,
 
     log_ratio = (logp_prop - logp_cur + lq(st.mask) - lq(prop))
     take = jnp.logical_and(
-        n_diff <= MODE_JUMP_BUDGET,
+        n_diff <= budget,
         jnp.logical_and(
             n_diff > 0,
             jnp.log(jax.random.uniform(k_acc, (), logp_cur.dtype))
@@ -271,14 +280,12 @@ def draw_indicators_swept(key, suf: RegSuf, prior: SpikeSlabPrior, mask,
             -jnp.inf)
         take = jnp.log(jax.random.uniform(k, (), logp_cur.dtype)) < (
             jax.nn.log_sigmoid(logp_flip - logp_cur))
-        new_st = jax.lax.cond(
-            take,
-            lambda: _apply_flip(st, prior, j, corner, dq, d_ld_a, d_ld_o,
-                                d_spike),
-            lambda: st)
+        new_st = _gated_apply_flip(st, prior, j, take, dq, d_ld_a,
+                                   d_ld_o, d_spike)
         new_logp = jnp.where(take, logp_flip, logp_cur)
         return (new_st, new_logp), None
 
     keys = jax.random.split(k_scan, order.shape[0])
-    (st, _), _ = jax.lax.scan(flip_one, (st, logp_cur), (order, keys))
+    (st, _), _ = jax.lax.scan(flip_one, (st, logp_cur), (order, keys),
+                              unroll=_SCAN_UNROLL)
     return st.mask

@@ -87,6 +87,12 @@ class NonGaussianBsts:
     state_dim = Bsts.state_dim
     _time_varying_z = Bsts._time_varying_z
     _time_varying_q = Bsts._time_varying_q
+    _time_varying_t = Bsts._time_varying_t
+    # irregular-timestamp fields exist only on the Gaussian path; the
+    # latent-Gaussian reductions always see dense pseudo-data
+    observed = None
+    obs_weights = None
+    extra_obs_ss = 0.0
     state_contributions = Bsts.state_contributions
 
     @property

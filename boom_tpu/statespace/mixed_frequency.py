@@ -127,6 +127,10 @@ class MixedFrequencyRegression:
     state_dim = _Bsts.state_dim
     _time_varying_z = _Bsts._time_varying_z
     _time_varying_q = _Bsts._time_varying_q
+    _time_varying_t = _Bsts._time_varying_t
+    # Bsts.ssm_params consults obs_weights (Gaussian irregular-timestamp
+    # path); this model has its own multiplexed-observation machinery
+    obs_weights = None
 
     @property
     def _cct(self):

@@ -42,9 +42,16 @@ Config history (so cross-round numbers are comparable):
        process. bsts_llt monitored set WIDENED from the 3 TIM-refreshed
        variances to also include two state functionals (sampled level
        at T/2, one-step-ahead forecast mean = level+slope at T) so the
-       R-hat gate and min-ESS keep bite on state-path mixing; the
-       headline is measured against this wider, honest monitor.
-       Program sizes consult KNOWN_BACKEND_EDGES.json.
+       R-hat gate and min-ESS keep bite on state-path mixing; measured
+       against this wider monitor bsts_llt reads 32.7k min-ESS/s (the
+       53k r04 number was min over TIM-refreshed scalars only — the
+       32.7k is the honest successor, gated at R-hat 1.0047).
+       spike_slab: gated-flip rank-1 optimization (one sign+accept-
+       parameterized pass per flip instead of sweep+unsweep+select)
+       took the sweep 6.62 -> 6.23 s => 32.6k min-ESS/s; the bench
+       program pins mode_jump=False (see bench_spike_slab comment and
+       PERF.md §3). Program sizes consult KNOWN_BACKEND_EDGES.json;
+       mbsts evidence runs at the bisected safe size (128 chains).
 """
 
 from __future__ import annotations
@@ -124,7 +131,13 @@ def bench_spike_slab():
     key = jax.random.key(20260817)
     k_sim, k_run = jax.random.split(key)
     x, y, _ = SpikeSlabRegression.simulate(k_sim, n, p, nonzero, sigma=1.0)
-    model = SpikeSlabRegression.from_data(x, y, expected_model_size=10.0)
+    # mode_jump=False: the r5 between-mode move (library default ON)
+    # costs ~7% here and this 1024-chain program is R-hat-clean without
+    # it (1.0004) — the basin it fixes only appears at chain counts the
+    # backend silently corrupts (KNOWN_BACKEND_EDGES.json); r01-r04
+    # comparability wants the identical kernel. See PERF.md §3.
+    model = SpikeSlabRegression.from_data(x, y, expected_model_size=10.0,
+                                          mode_jump=False)
 
     fit = jax.jit(lambda k: run_mcmc(
         k, model.kernel(), model.init_state, draws, num_chains=chains,

@@ -10,14 +10,19 @@ The TPU-native equivalents (SURVEY.md §2.8):
   data parallelism  : shard observations over the 'data' axis; sufficient
                       statistics combine with psum — the exact
                       combine_data contract as an all-reduce.
+  multi-host        : initialize_multihost joins a jax.distributed job so
+                      jax.devices()/make_mesh span every process; sharded
+                      init states and keys become cross-process global
+                      arrays automatically (mesh.shard_chains).
 """
 
 from boom_tpu.parallel.mesh import (
     data_parallel_suf,
+    initialize_multihost,
     make_mesh,
     run_mcmc_sharded,
     shard_chains,
 )
 
 __all__ = ["make_mesh", "shard_chains", "run_mcmc_sharded",
-           "data_parallel_suf"]
+           "data_parallel_suf", "initialize_multihost"]

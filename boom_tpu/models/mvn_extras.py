@@ -418,8 +418,12 @@ class IndependentMvn:
             dev = ss_within + n * (ybar - state["mu"]) ** 2
             df = self.sigma_df + n
             s = (self.sigma_df * self.sigma_guess**2 + dev) / df
-            sigsq = dists.scaled_inv_chisq.sample(ks, df, s,
-                                                  shape=(p,))
+            # NOTE: no shape arg — `s` is already [p], and the dists
+            # convention PREPENDS shape to the params' broadcast shape
+            # (shape=(p,) here returned [p, p], growing the state's
+            # rank by one every sweep until XLA's rank limit aborted
+            # the process ~200 sweeps in; caught in round 5)
+            sigsq = dists.scaled_inv_chisq.sample(ks, df, s)
             # mu_j | sigsq_j
             prec = (self.mean_nobs + n) / sigsq
             mean = (self.mean_nobs * self.mean_guess

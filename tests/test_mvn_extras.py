@@ -211,3 +211,21 @@ def test_product_vector():
     assert abs(np.sqrt(float(st["c0"]["sigsq"])) - 2.0) < 0.3
     assert np.isfinite(
         np.asarray(jax.tree_util.tree_leaves(st["c1"]))).all()
+
+
+def test_independent_mvn_state_shapes_invariant():
+    """Round-5 regression guard: the r5 audit found the kernel's
+    variance draw passed shape=(p,) with an already-[p] scale — the
+    dists convention PREPENDS shape, so sigsq grew one rank per sweep,
+    forcing a ~1s recompile per call until XLA's rank limit ABORTED the
+    test process. Every kernel must map a state pytree to one of
+    identical shapes."""
+    from boom_tpu.models.mvn_extras import IndependentMvn
+
+    y = jax.random.normal(jax.random.key(0), (50, 3))
+    m = IndependentMvn(y=y)
+    st = m.init_state(jax.random.key(1))
+    kern = m.kernel()
+    st2 = kern(jax.random.key(2), st)
+    assert jax.tree_util.tree_map(jnp.shape, st2) == \
+        jax.tree_util.tree_map(jnp.shape, st)

@@ -11,6 +11,16 @@ SLOW_TESTS = {
     # round 5 additions (unmasked by the conftest numpy-import fix)
     "tests/test_hierarchical_extras.py::test_hierarchical_zero_inflated_gamma",  # 24.9s
     "tests/test_glm_extras.py::test_aggregated_regression_log",  # 19.9s
+    # round 5: cold-cache timings (persistent compile cache disabled);
+    # test_smoke.py entries deliberately STAY in the smoke tier — they
+    # are the tier's intended end-to-end coverage
+    "tests/test_mbsts.py::test_mbsts_positive_diagonal_identification",  # 37.8s
+    "tests/test_time_sharded.py::test_sharded_filter_matches_single_device",  # 32.8s
+    "tests/test_mbsts.py::test_mbsts_missing_observations",  # 32.8s
+    "tests/test_frontends.py::test_mixed_data_imputer_frontend",  # 23.5s
+    "tests/test_serialize_diag.py::test_bsts_prediction_errors_holdout",  # 22.6s
+    "tests/test_rplots.py::test_bsts_plot_dispatch",  # 20.5s
+    "tests/test_dynreg.py::test_dynreg_smoke_ragged",  # 18.4s
     # round 4 additions (statistical recover-truth tests)
     "tests/test_hmm.py::test_parallel_forward_filter_matches_sequential",
     "tests/test_hmm.py::test_gaussian_hmm_parallel_filter_option",

@@ -153,16 +153,14 @@ def test_independent_mvn():
     sd = jnp.asarray([0.5, 2.0, 1.0])
     y = mu + sd * jax.random.normal(key, (4000, 3))
     m = IndependentMvn(y=y)
-    st = m.init_state(jax.random.key(6))
-    kern = jax.jit(m.kernel())
-    mus, sds = [], []
-    for i in range(200):
-        st = kern(jax.random.fold_in(jax.random.key(7), i), st)
-        if i >= 50:
-            mus.append(np.asarray(st["mu"]))
-            sds.append(np.sqrt(np.asarray(st["sigsq"])))
-    assert np.abs(np.mean(mus, 0) - np.asarray(mu)).max() < 0.1
-    assert np.abs(np.mean(sds, 0) / np.asarray(sd) - 1.0).max() < 0.1
+    from boom_tpu.inference import run_mcmc
+
+    res = run_mcmc(jax.random.key(7), m.kernel(), m.init_state, 150,
+                   num_chains=2, burn=50)
+    mus = np.asarray(res.draws["mu"]).reshape(-1, 3)
+    sds = np.sqrt(np.asarray(res.draws["sigsq"])).reshape(-1, 3)
+    assert np.abs(mus.mean(0) - np.asarray(mu)).max() < 0.1
+    assert np.abs(sds.mean(0) / np.asarray(sd) - 1.0).max() < 0.1
 
 
 def test_mvn_given_sigma_and_indep_scalar_sigma():

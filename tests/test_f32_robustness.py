@@ -147,8 +147,14 @@ def test_f32_bsts_llt_seasonal_spike():
         reg_prior=SpikeSlabPrior.from_data(x, y,
                                            expected_model_size=2.0),
         marginal_sigma_slice=True)
+    # draws/burn 400/400 -> 500/600 (r5): the level-variance R-hat sat
+    # at 1.03-1.07 across seeds at the old budget (the f32 rounding
+    # changes from the r5 gated-flip sweep moved this config from 1.04
+    # to 1.07 — seed-level noise around the 1.05 gate, not a mixing
+    # change); the longer budget keeps the SAME gate while taking the
+    # marginal config out of the noise band.
     res = run_mcmc(jax.random.key(9), model.kernel(), model.init_state,
-                   num_draws=400, num_chains=8, burn=400,
+                   num_draws=500, num_chains=8, burn=600,
                    extract=lambda s: {
                        "so": s["sigsq_obs"],
                        "lvl": s["blocks"]["trend"]["sigma_level_sq"],

@@ -30,3 +30,10 @@ __all__ = [
     "create_named_holiday", "named_holidays", "holiday_day_indices",
     "holiday_window_arrays", "ProgressTracker",
 ]
+
+from boom_tpu.utils.timestamps import (
+    TimestampInfo,
+    collapse_to_grid,
+    is_regular,
+    regularize_timestamps,
+)

@@ -52,6 +52,10 @@ Config history (so cross-round numbers are comparable):
        program pins mode_jump=False (see bench_spike_slab comment and
        PERF.md §3). Program sizes consult KNOWN_BACKEND_EDGES.json;
        mbsts evidence runs at the bisected safe size (128 chains).
+       Late r05: kalman time-scan unroll is platform-aware (32 on TPU,
+       measured 19.62s @8 -> 18.82s @32; 64 regresses to 22.2s) =>
+       bsts_llt 33.8k. Final validated headline: 32,593 (spike_slab
+       binds; both workloads R-hat-gated, rc=0).
 """
 
 from __future__ import annotations

@@ -185,6 +185,21 @@ def main(argv=None):
     if args.multihost:
         return run_multihost(args.multihost, args.out)
 
+    # honor JAX_PLATFORMS=cpu even when a sitecustomize pre-selected a
+    # different backend at interpreter startup (the conftest trick)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
     import jax
 
     devs = jax.devices()

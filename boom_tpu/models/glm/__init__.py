@@ -26,6 +26,8 @@ from boom_tpu.models.glm.ssvs import (
     WeightedRegSuf,
     kv_draw_beta,
     kv_draw_indicators,
+    kv_mode_jump,
+    kv_screening_proposal_probs,
     kv_log_model_prob,
     sample_mixture_indicator,
 )
@@ -55,6 +57,7 @@ __all__ = [
     "log_model_prob", "reg_post_params",
     "draw_indicators_sweep", "draw_sigsq", "draw_beta",
     "WeightedRegSuf", "kv_log_model_prob", "kv_draw_indicators",
+    "kv_mode_jump", "kv_screening_proposal_probs",
     "kv_draw_beta", "sample_mixture_indicator",
     "ProbitSpikeSlab", "impute_probit_latent",
     "LogitSpikeSlab", "impute_logit_latent",

@@ -58,6 +58,10 @@ class LogitSpikeSlab:
     y: jax.Array  # [n] in {0, 1}
     prior: SpikeSlabPrior
     max_flips: int | None = None
+    # r5: per-sweep independence mode jump on gamma (kv_mode_jump) —
+    # the between-mode move the one-flip scan lacks; proposal re-fitted
+    # at each imputation's weighted screening statistics
+    mode_jump: bool = True
 
     @staticmethod
     def from_data(x, y, expected_model_size=1.0,
@@ -94,7 +98,8 @@ class LogitSpikeSlab:
             w = 1.0 / (s_tab[comp] ** 2)
             suf = WeightedRegSuf.from_data(self.x, z, w)
             gamma = kv_draw_indicators(
-                kg, suf, self.prior, state["gamma"], self.max_flips)
+                kg, suf, self.prior, state["gamma"], self.max_flips,
+                mode_jump=self.mode_jump)
             beta = kv_draw_beta(kb, suf, self.prior, gamma)
             return {"gamma": gamma, "beta": beta}
 

@@ -88,10 +88,18 @@ def kv_log_model_prob(suf: WeightedRegSuf, prior: SpikeSlabPrior, mask):
 
 
 def kv_draw_indicators(key, suf: WeightedRegSuf, prior: SpikeSlabPrior,
-                       mask, max_flips: int | None = None):
+                       mask, max_flips: int | None = None,
+                       mode_jump: bool = False):
     """Random-order Gibbs sweep over inclusion indicators with exact
     two-point conditionals (the known-variance analog of
-    draw_model_indicators, reference BregVsSampler.cpp:353)."""
+    draw_model_indicators, reference BregVsSampler.cpp:353). With
+    mode_jump=True the sweep is preceded by one independence-MH global
+    move (kv_mode_jump) whose proposal is fitted per call at the
+    CURRENT imputation's weighted screening statistics."""
+    if mode_jump:
+        k_jump, key = jax.random.split(key)
+        mask = kv_mode_jump(k_jump, suf, prior, mask,
+                            kv_screening_proposal_probs(suf))
     p = mask.shape[-1]
     k_perm, k_scan = jax.random.split(key)
     order = jax.random.permutation(k_perm, p)
@@ -112,6 +120,48 @@ def kv_draw_indicators(key, suf: WeightedRegSuf, prior: SpikeSlabPrior,
     keys = jax.random.split(k_scan, order.shape[0])
     (mask, _), _ = jax.lax.scan(flip_one, (mask, logp_cur), (order, keys))
     return mask
+
+
+def kv_mode_jump(key, suf: WeightedRegSuf, prior: SpikeSlabPrior, mask,
+                 qprobs):
+    """Independence-MH between-mode move on gamma for the known-variance
+    engine: propose g' ~ prod Bernoulli(qprobs) and accept with the
+    exact collapsed odds (kv_log_model_prob). The GLM composites'
+    analog of regression.mode_jump_move — one global refresh per sweep
+    rescues chains stuck in a local model basin that one-flip-at-a-time
+    SSVS exits slowly (reference escape machinery:
+    AdaptiveSpikeSlabRegressionSampler.hpp:39). Cost: two extra masked-
+    Cholesky evaluations per sweep — a small fraction of a GLM sweep,
+    which already pays imputation + p flip Choleskys."""
+    k_prop, k_acc = jax.random.split(key)
+    p = mask.shape[-1]
+    prop = jax.random.uniform(k_prop, (p,), qprobs.dtype) < qprobs
+    logq = jnp.log(qprobs)
+    log1mq = jnp.log1p(-qprobs)
+
+    def lq(m):
+        mf = jnp.asarray(m, qprobs.dtype)
+        return jnp.sum(mf * logq + (1.0 - mf) * log1mq, -1)
+
+    log_ratio = (kv_log_model_prob(suf, prior, prop)
+                 - kv_log_model_prob(suf, prior, mask)
+                 + lq(mask) - lq(prop))
+    take = jnp.log(jax.random.uniform(k_acc, (), log_ratio.dtype)) \
+        < log_ratio
+    return jnp.where(take, prop, mask)
+
+
+def kv_screening_proposal_probs(suf: WeightedRegSuf, lo=0.02, hi=0.98):
+    """Product-Bernoulli proposal fitted at the weighted marginal
+    screening statistics: z_j^2 = (X'Wz)_j^2 / (X'WX)_jj (the
+    information-weighted single-variable evidence), thresholded at
+    2 log p — the known-variance analog of
+    regression.screening_proposal_probs."""
+    p = suf.xtwz.shape[-1]
+    z2 = suf.xtwz ** 2 / (jnp.diagonal(suf.xtwx, axis1=-2, axis2=-1)
+                          + 1e-30)
+    raw = jax.nn.sigmoid(0.5 * (z2 - 2.0 * jnp.log(float(p))))
+    return jnp.clip(raw, lo, hi)
 
 
 def kv_draw_beta(key, suf: WeightedRegSuf, prior: SpikeSlabPrior, mask):

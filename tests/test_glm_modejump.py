@@ -88,3 +88,28 @@ def test_mode_jump_move_is_a_valid_update(rng_key):
     out = mode_jump_move(jax.random.key(2), model.suf, model.prior,
                          mask, q)
     assert out.shape == (p,) and out.dtype == jnp.bool_
+
+
+def test_kv_mode_jump_logit_preserves_recovery(rng_key):
+    """The known-variance-engine mode jump (default ON for LogitSpike-
+    Slab, r5): the composite must still recover sparse truth, and the
+    jump must rescue chains started at the empty model."""
+    from boom_tpu.models.glm.logit import LogitSpikeSlab
+
+    n, p, nonzero = 1500, 12, 3
+    x, y, beta_true = LogitSpikeSlab.simulate(rng_key, n, p, nonzero,
+                                              beta_scale=2.0)
+    model = LogitSpikeSlab.from_data(x, y, expected_model_size=4.0)
+    assert model.mode_jump
+
+    def null_init(key):
+        st = model.init_state(key)
+        return {"gamma": jnp.zeros(p, bool),
+                "beta": jnp.zeros_like(st["beta"])}
+
+    res = run_mcmc(jax.random.key(21), model.kernel(), null_init,
+                   num_draws=200, num_chains=4, burn=100,
+                   extract=lambda s: s["gamma"])
+    incl = np.asarray(res.draws).reshape(-1, p).mean(0)
+    assert (incl[:nonzero] > 0.8).all(), incl
+    assert np.median(incl[nonzero:]) < 0.3, incl

@@ -93,6 +93,8 @@ class PoissonSpikeSlab:
     log_exposure: jax.Array  # [n]
     prior: SpikeSlabPrior
     max_flips: int | None = None
+    # r5: per-sweep independence mode jump on gamma (ssvs.kv_mode_jump)
+    mode_jump: bool = True
 
     @staticmethod
     def from_data(x, y, exposure=None, expected_model_size=1.0,
@@ -157,7 +159,8 @@ class PoissonSpikeSlab:
             suf = WeightedRegSuf.from_data(self.x, z1, w1).combine(
                 WeightedRegSuf.from_data(self.x, z2, w2))
             gamma = kv_draw_indicators(
-                kg, suf, self.prior, state["gamma"], self.max_flips)
+                kg, suf, self.prior, state["gamma"], self.max_flips,
+                mode_jump=self.mode_jump)
             beta = kv_draw_beta(kb, suf, self.prior, gamma)
             return {"gamma": gamma, "beta": beta}
 

@@ -51,6 +51,8 @@ class ProbitSpikeSlab:
     y: jax.Array  # [n] in {0, 1}
     prior: SpikeSlabPrior
     max_flips: int | None = None
+    # r5: per-sweep independence mode jump on gamma (ssvs.kv_mode_jump)
+    mode_jump: bool = True
 
     @staticmethod
     def from_data(x, y, expected_model_size=1.0,
@@ -76,7 +78,8 @@ class ProbitSpikeSlab:
             z = impute_probit_latent(kz, eta, self.y)
             suf = WeightedRegSuf.from_data(self.x, z)
             gamma = kv_draw_indicators(
-                kg, suf, self.prior, state["gamma"], self.max_flips)
+                kg, suf, self.prior, state["gamma"], self.max_flips,
+                mode_jump=self.mode_jump)
             beta = kv_draw_beta(kb, suf, self.prior, gamma)
             return {"gamma": gamma, "beta": beta}
 

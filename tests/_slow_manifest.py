@@ -21,6 +21,7 @@ SLOW_TESTS = {
     "tests/test_serialize_diag.py::test_bsts_prediction_errors_holdout",  # 22.6s
     "tests/test_rplots.py::test_bsts_plot_dispatch",  # 20.5s
     "tests/test_dynreg.py::test_dynreg_smoke_ragged",  # 18.4s
+    "tests/test_time_sharded.py::test_sharded_smoother_matches_single_device",  # 29.4s
     # round 4 additions (statistical recover-truth tests)
     "tests/test_hmm.py::test_parallel_forward_filter_matches_sequential",
     "tests/test_hmm.py::test_gaussian_hmm_parallel_filter_option",
